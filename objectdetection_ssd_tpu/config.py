@@ -1,0 +1,171 @@
+"""Typed configuration for the whole framework.
+
+The reference scatters every hyperparameter as a literal at its point of use
+(batch size/workers `train.py:29,40`, lr/momentum/wd `train.py:53-55`,
+StepLR(7, 0.1) `train.py:57`, epochs 1000 `train.py:59`, seed 10 `train.py:13`,
+match threshold 0.5 `Util.py:333` / `Losses.py:171`, neg:pos ratio 3
+`Losses.py:189`, score 0.2 / NMS IoU 0.45 / top-k 200 `Losses.py:11`, input
+300x300 + ImageNet normalize `Dataset.py:10-13`). Here they are lifted into
+dataclasses so every subsystem reads from one place and the CLI can override
+them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+# PASCAL VOC class vocabulary: 20 foreground classes, background sentinel at
+# index 20 (reference `Util.py:26-27`, `Losses.py:171`).
+VOC_CLASSES: Tuple[str, ...] = (
+    "aeroplane", "bicycle", "bird", "boat", "bottle", "bus", "car", "cat",
+    "chair", "cow", "diningtable", "dog", "horse", "motorbike", "person",
+    "pottedplant", "sheep", "sofa", "train", "tvmonitor",
+)
+NUM_CLASSES = len(VOC_CLASSES)          # 20 foreground
+BACKGROUND_CLASS = NUM_CLASSES          # 20
+NUM_CLASSES_WITH_BG = NUM_CLASSES + 1   # 21 logits
+
+CLASS_TO_ID = {name: i for i, name in enumerate(VOC_CLASSES)}
+ID_TO_CLASS = dict(enumerate(VOC_CLASSES + ("bg",)))
+
+# ImageNet normalization used by the pretrained VGG backbone
+# (reference `Dataset.py:12`).
+IMAGENET_MEAN: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+IMAGENET_STD: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+
+
+@dataclasses.dataclass(frozen=True)
+class PriorConfig:
+    """SSD300 prior (anchor) grid spec (reference `Util.py:105-137`)."""
+
+    feature_map_sizes: Sequence[int] = (38, 19, 10, 5, 3, 1)
+    scales: Sequence[float] = (0.1, 0.2, 0.375, 0.55, 0.725, 0.9)
+    # Aspect ratios per map; ratio 1.0 additionally emits the extra
+    # sqrt(s_k * s_{k+1}) box (reference `Util.py:129-134`).
+    aspect_ratios: Sequence[Sequence[float]] = (
+        (1.0, 2.0, 0.5),
+        (1.0, 2.0, 3.0, 0.5, 0.333),
+        (1.0, 2.0, 3.0, 0.5, 0.333),
+        (1.0, 2.0, 3.0, 0.5, 0.333),
+        (1.0, 2.0, 0.5),
+        (1.0, 2.0, 0.5),
+    )
+
+    @property
+    def boxes_per_cell(self) -> Tuple[int, ...]:
+        return tuple(len(r) + 1 for r in self.aspect_ratios)
+
+    @property
+    def num_priors(self) -> int:
+        return sum(
+            g * g * k
+            for g, k in zip(self.feature_map_sizes, self.boxes_per_cell)
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """SSD model family selection and structural knobs."""
+
+    backbone: str = "vgg16"            # "vgg16" | "resnet34"
+    image_size: int = 300              # square input (reference 300x300)
+    num_classes: int = NUM_CLASSES_WITH_BG
+    # conv4_3 L2-norm rescale initial value (reference `Model.py:133`).
+    l2_norm_scale_init: float = 20.0
+    # ResNet-34 variant: freeze the pretrained trunk
+    # (reference `Model.py:81-86` wraps it in torch.no_grad()).
+    freeze_backbone: bool = True
+    dropout_rate: float = 0.4          # reference `Model.py:13`
+    # Compute dtype for the conv stack. Params stay f32; bf16 activations
+    # keep the MXU fed at full rate on TPU.
+    compute_dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Multibox loss knobs (reference `Losses.py:136-199`)."""
+
+    match_iou_threshold: float = 0.5   # bg below this (`Losses.py:171`)
+    neg_pos_ratio: int = 3             # hard negatives (`Losses.py:189`)
+    # The reference calls its loc loss `smooth_l1` but instantiates plain
+    # nn.L1Loss (`Losses.py:147`). Keep L1 for parity; huber is opt-in.
+    loc_loss: str = "l1"               # "l1" | "huber"
+    # Encode/decode variance conventions expressed as the reference writes
+    # them: /10 for centers, *5 / /5 for sizes (`Util.py:86-102`).
+    center_variance_inv: float = 10.0
+    size_variance_inv: float = 5.0
+
+
+@dataclasses.dataclass(frozen=True)
+class PostprocessConfig:
+    """Detection post-processing (reference `Losses.py:11`)."""
+
+    score_threshold: float = 0.2
+    nms_iou_threshold: float = 0.45
+    top_k: int = 200                   # global cap across classes
+    per_class_top_k: int = 200         # fixed-shape per-class candidate slots
+    use_pallas_nms: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """VOC data pipeline (reference `DataLists.py`, `Dataset.py`, `train.py`)."""
+
+    voc_root: str = "VOCdevkit"
+    batch_size: int = 20               # reference `train.py:29`
+    num_workers: int = 2               # reference `train.py:29`
+    max_boxes: int = 64                # pad ragged GT to this many per image
+    keep_difficult: bool = False       # reference `Dataset.py:29-31`
+    val_fraction: float = 0.1          # reference `train.py:14`
+    split_seed: int = 10               # reference `train.py:13`
+    # Reference samples the val split WITH replacement (`train.py:14`),
+    # yielding slightly <10% unique val ids. Fixed by default; set True for
+    # byte-exact split parity.
+    parity_split: bool = False
+    augment: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    """SGD setup (reference `train.py:53-57`)."""
+
+    lr: float = 1e-4
+    bias_lr_multiplier: float = 2.0    # 2x lr for biases (`train.py:54`)
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+    # StepLR(step_size=7, gamma=0.1) is constructed but scheduler.step() is
+    # never called in the reference (`train_function.py`), so lr is constant.
+    # We implement the schedule properly; parity mode disables it.
+    lr_decay_epochs: int = 7
+    lr_decay_gamma: float = 0.1
+    use_lr_schedule: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    num_epochs: int = 1000             # reference `train.py:59`
+    checkpoint_dir: str = "checkpoints"
+    checkpoint_every_epochs: int = 1   # reference saves per-epoch
+    max_checkpoints_to_keep: int = 3
+    log_every_steps: int = 20          # reference `train_function.py:99`
+    seed: int = 10
+    # Device mesh axes; plain data parallelism is the default.
+    mesh_shape: Optional[Tuple[int, ...]] = None   # None = all devices on 'data'
+    mesh_axis_names: Tuple[str, ...] = ("data",)
+    donate_state: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    priors: PriorConfig = dataclasses.field(default_factory=PriorConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    loss: LossConfig = dataclasses.field(default_factory=LossConfig)
+    postprocess: PostprocessConfig = dataclasses.field(
+        default_factory=PostprocessConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,90 @@
+"""Box geometry primitives — pure, fixed-shape jnp functions.
+
+Coordinate frames (same conventions as the reference stack):
+  * ``xyxy``   — corner boxes (x_min, y_min, x_max, y_max)
+  * ``cxcywh`` — center boxes (cx, cy, w, h); the reference calls this "xywh"
+  * ``gcxgcy`` — scaled regression offsets relative to a prior box
+
+Reference behavior reproduced here:
+  * converters `Util.py:57-96`
+  * encode (`get_offsets_coords`, `Util.py:98-102`):
+      g_cxcy = (cxcy - p_cxcy) / (p_wh / 10);  g_wh = log(wh / p_wh) * 5
+  * decode (`gcxgcy_to_cxcy`, `Util.py:86-91`):
+      cxcy = g_cxcy * p_wh / 10 + p_cxcy;      wh = exp(g_wh / 5) * p_wh
+  * pairwise IoU (`find_intersection` + `get_jaccard_tensor1`,
+    `Util.py:252-301`): clamp(min(hi) - max(lo), 0) product over x,y; IoU =
+    inter / (area1 + area2 - inter).
+
+Everything broadcasts over arbitrary leading batch dims and compiles to a
+single fused XLA computation — no host round-trips (the reference's
+`xyxy_to_xywh` bounces through CPU/numpy, `Util.py:57-63`).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# Variance conventions, written the way the reference writes them
+# (`Util.py:86-102`): divide centers by (p_wh / 10), scale log-sizes by 5.
+CENTER_VARIANCE_INV = 10.0
+SIZE_VARIANCE_INV = 5.0
+
+
+def cxcywh_to_xyxy(boxes: jnp.ndarray) -> jnp.ndarray:
+    """(..., 4) center boxes -> corner boxes (reference `Util.py:93-96`)."""
+    xy = boxes[..., :2]
+    half_wh = boxes[..., 2:] * 0.5
+    return jnp.concatenate([xy - half_wh, xy + half_wh], axis=-1)
+
+
+def xyxy_to_cxcywh(boxes: jnp.ndarray) -> jnp.ndarray:
+    """(..., 4) corner boxes -> center boxes (reference `Util.py:57-63`)."""
+    lo = boxes[..., :2]
+    hi = boxes[..., 2:]
+    return jnp.concatenate([(lo + hi) * 0.5, hi - lo], axis=-1)
+
+
+def encode(boxes_cxcywh: jnp.ndarray, priors_cxcywh: jnp.ndarray,
+           *, center_variance_inv: float = CENTER_VARIANCE_INV,
+           size_variance_inv: float = SIZE_VARIANCE_INV) -> jnp.ndarray:
+    """Box -> regression offsets vs priors (reference `Util.py:98-102`)."""
+    g_xy = (boxes_cxcywh[..., :2] - priors_cxcywh[..., :2]) / (
+        priors_cxcywh[..., 2:] / center_variance_inv)
+    g_wh = jnp.log(boxes_cxcywh[..., 2:] / priors_cxcywh[..., 2:]) * (
+        size_variance_inv)
+    return jnp.concatenate([g_xy, g_wh], axis=-1)
+
+
+def decode(offsets: jnp.ndarray, priors_cxcywh: jnp.ndarray,
+           *, center_variance_inv: float = CENTER_VARIANCE_INV,
+           size_variance_inv: float = SIZE_VARIANCE_INV) -> jnp.ndarray:
+    """Regression offsets -> cxcywh boxes (reference `Util.py:86-91`)."""
+    xy = (offsets[..., :2] * priors_cxcywh[..., 2:] / center_variance_inv
+          + priors_cxcywh[..., :2])
+    wh = jnp.exp(offsets[..., 2:] / size_variance_inv) * priors_cxcywh[..., 2:]
+    return jnp.concatenate([xy, wh], axis=-1)
+
+
+def area(boxes_xyxy: jnp.ndarray) -> jnp.ndarray:
+    """(..., 4) -> (...,) box areas; negative extents are NOT clamped
+    (matches reference `Util.py:294-295`)."""
+    wh = boxes_xyxy[..., 2:] - boxes_xyxy[..., :2]
+    return wh[..., 0] * wh[..., 1]
+
+
+def pairwise_intersection(a_xyxy: jnp.ndarray,
+                          b_xyxy: jnp.ndarray) -> jnp.ndarray:
+    """(..., n1, 4) x (..., n2, 4) -> (..., n1, n2) intersection areas
+    (reference `find_intersection`, `Util.py:252-265`)."""
+    lo = jnp.maximum(a_xyxy[..., :, None, :2], b_xyxy[..., None, :, :2])
+    hi = jnp.minimum(a_xyxy[..., :, None, 2:], b_xyxy[..., None, :, 2:])
+    wh = jnp.clip(hi - lo, 0.0)
+    return wh[..., 0] * wh[..., 1]
+
+
+def pairwise_iou(a_xyxy: jnp.ndarray, b_xyxy: jnp.ndarray) -> jnp.ndarray:
+    """(..., n1, 4) x (..., n2, 4) -> (..., n1, n2) IoU
+    (reference `get_jaccard_tensor1`, `Util.py:288-301`)."""
+    inter = pairwise_intersection(a_xyxy, b_xyxy)
+    union = area(a_xyxy)[..., :, None] + area(b_xyxy)[..., None, :] - inter
+    return inter / union
