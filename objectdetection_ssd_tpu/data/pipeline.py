@@ -1,0 +1,180 @@
+"""Batched input pipeline: decode -> augment -> resize -> normalize -> pad.
+
+Replaces the reference's torch DataLoader + ragged-list collate
+(`Dataset.py:7-53`, `train.py:29,40`) with a TPU-friendly design:
+
+  * ragged per-image GT becomes a dense ``(B, max_boxes)`` pad + validity
+    mask (SURVEY.md §7: padded batching replaces ragged lists), so the whole
+    batch enters one jitted computation;
+  * images are NHWC float32, resized to 300x300 and ImageNet-normalized
+    exactly like the reference's torchvision Compose (`Dataset.py:10-13`);
+  * box coordinates are normalized by the post-augmentation image size
+    (`Dataset.py:35-36`);
+  * an optional process pool parallelizes decode+augment (the reference uses
+    2 DataLoader workers, `train.py:29`), and `prefetch_to_device` overlaps
+    host batching with device compute.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import queue
+import threading
+from concurrent.futures import ProcessPoolExecutor
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from objectdetection_ssd_tpu.config import (IMAGENET_MEAN, IMAGENET_STD,
+                                            DataConfig)
+from objectdetection_ssd_tpu.data import augment
+from objectdetection_ssd_tpu.data.voc import ImageRecord
+
+
+def load_image(path: str) -> np.ndarray:
+    """Decode an image file to float32 RGB HWC in [0, 1]."""
+    from PIL import Image
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), np.float32) / 255.0
+
+
+def resize_image(img: np.ndarray, size: int) -> np.ndarray:
+    """Bilinear resize to (size, size) — matches transforms.Resize
+    (`Dataset.py:10`)."""
+    from PIL import Image
+    im = Image.fromarray((img * 255.0).astype(np.uint8))
+    im = im.resize((size, size), Image.BILINEAR)
+    return np.asarray(im, np.float32) / 255.0
+
+
+def normalize_image(img: np.ndarray) -> np.ndarray:
+    """ImageNet mean/std normalization (`Dataset.py:12`)."""
+    mean = np.asarray(IMAGENET_MEAN, np.float32)
+    std = np.asarray(IMAGENET_STD, np.float32)
+    return (img - mean) / std
+
+
+@dataclasses.dataclass
+class Example:
+    image: np.ndarray        # (S, S, 3) float32, normalized
+    boxes: np.ndarray        # (n, 4) float32, xyxy in [0, 1]
+    classes: np.ndarray      # (n,) int32
+    image_id: int
+
+
+def prepare_example(record: ImageRecord, image_size: int,
+                    train: bool, keep_difficult: bool,
+                    seed: Optional[int] = None) -> Example:
+    """Decode + (optionally) augment one record into a fixed-size example."""
+    rec = record if keep_difficult else record.without_difficult()
+    img = load_image(rec.image_path)
+    boxes = rec.boxes_xyxy.astype(np.float32)
+    classes = rec.classes
+    if train:
+        rng = np.random.default_rng(seed)
+        img, boxes, classes = augment.train_transform(img, boxes, classes,
+                                                      rng)
+    h, w = img.shape[:2]
+    # Normalize boxes by the post-augmentation size (`Dataset.py:35-36`).
+    if len(boxes):
+        boxes = boxes / np.asarray([w, h, w, h], np.float32)
+        boxes = np.clip(boxes, 0.0, 1.0)
+    img = normalize_image(resize_image(img, image_size))
+    return Example(img, boxes.reshape(-1, 4), classes.astype(np.int32),
+                   rec.image_id)
+
+
+def collate(examples: Sequence[Example], max_boxes: int
+            ) -> Dict[str, np.ndarray]:
+    """Stack examples into one dense padded batch."""
+    bs = len(examples)
+    s = examples[0].image.shape[0]
+    batch = {
+        "images": np.zeros((bs, s, s, 3), np.float32),
+        "boxes": np.zeros((bs, max_boxes, 4), np.float32),
+        "classes": np.zeros((bs, max_boxes), np.int32),
+        "mask": np.zeros((bs, max_boxes), bool),
+        "image_ids": np.zeros((bs,), np.int32),
+    }
+    for i, ex in enumerate(examples):
+        n = min(len(ex.boxes), max_boxes)
+        batch["images"][i] = ex.image
+        batch["boxes"][i, :n] = ex.boxes[:n]
+        batch["classes"][i, :n] = ex.classes[:n]
+        batch["mask"][i, :n] = True
+        batch["image_ids"][i] = ex.image_id
+    return batch
+
+
+def _prepare_star(args):
+    return prepare_example(*args)
+
+
+class Loader:
+    """Epoch iterator over ImageRecords yielding dense padded batches.
+
+    ``drop_last`` defaults to True in training so every step has the same
+    static batch shape (one XLA compilation).
+    """
+
+    def __init__(self, records: List[ImageRecord], config: DataConfig,
+                 image_size: int = 300, train: bool = True,
+                 seed: int = 0, drop_last: Optional[bool] = None):
+        self.records = records
+        self.config = config
+        self.image_size = image_size
+        self.train = train
+        self.seed = seed
+        self.drop_last = train if drop_last is None else drop_last
+        self._pool = None
+        if config.num_workers > 0:
+            self._pool = ProcessPoolExecutor(max_workers=config.num_workers)
+
+    def __len__(self) -> int:
+        n = len(self.records)
+        b = self.config.batch_size
+        return n // b if self.drop_last else -(-n // b)
+
+    def epoch(self, epoch_idx: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng((self.seed, epoch_idx))
+        order = (rng.permutation(len(self.records)) if self.train
+                 else np.arange(len(self.records)))
+        b = self.config.batch_size
+        n_batches = len(self)
+        for bi in range(n_batches):
+            idx = order[bi * b:(bi + 1) * b]
+            args = [
+                (self.records[i], self.image_size, self.train,
+                 self.config.keep_difficult,
+                 int(rng.integers(0, 2**31)) if self.train else None)
+                for i in idx
+            ]
+            if self._pool is not None:
+                examples = list(self._pool.map(_prepare_star, args))
+            else:
+                examples = [prepare_example(*a) for a in args]
+            yield collate(examples, self.config.max_boxes)
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown()
+
+
+def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
+    """Background-thread prefetch so host batching overlaps device steps."""
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+
+    def producer():
+        for item in iterator:
+            q.put(item)
+        q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item

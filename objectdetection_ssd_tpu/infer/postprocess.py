@@ -1,0 +1,145 @@
+"""Detection post-processing: decode -> softmax -> per-class threshold ->
+per-class greedy NMS -> global top-k.  Entirely on-device, fixed shapes,
+jit/vmap-friendly.
+
+Reference behavior reproduced (`inference`, `Losses.py:11-98`):
+  * decode all P offsets against the priors (`Losses.py:23`);
+  * softmax over 21 classes (`Losses.py:25`);
+  * per foreground class: keep scores >= 0.2 (`Losses.py:32-36`), sort
+    descending (`Losses.py:38`), greedy NMS at IoU 0.45 where a box is
+    suppressed iff an earlier *unsuppressed* box overlaps it >= threshold
+    (`Losses.py:44-56`);
+  * global top-200 across classes by score (`Losses.py:77-81`);
+  * rescale to the original image size (`Losses.py:87-89`) — exposed here
+    via `scale_detections`.
+
+The reference does this with data-dependent shapes, a Python loop over
+candidate boxes, and `.cpu()` pulls per class.  Here every stage is static:
+each class takes its top-K (default 200) candidate slots, sub-threshold
+slots carry score 0 with a validity mask (a mask replaces the gather), and
+the sequential suppression dependency runs as a `lax.fori_loop` batched over
+all 20 classes at once.  Empty results are expressed as `valid=False` rows
+rather than ragged empties.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from objectdetection_ssd_tpu.config import NUM_CLASSES, PostprocessConfig
+from objectdetection_ssd_tpu.ops import boxes as box_ops
+
+
+class Detections(NamedTuple):
+    """Fixed-size detection set for a batch of images.
+
+    boxes_xyxy: (B, top_k, 4) in [0, 1] image-normalized corner coords.
+    scores:     (B, top_k) softmax scores (0 where invalid).
+    classes:    (B, top_k) int32 class ids in [0, 20) (0 where invalid).
+    valid:      (B, top_k) bool.
+    """
+
+    boxes_xyxy: jnp.ndarray
+    scores: jnp.ndarray
+    classes: jnp.ndarray
+    valid: jnp.ndarray
+
+
+def greedy_nms_mask(iou: jnp.ndarray, valid: jnp.ndarray,
+                    iou_threshold: float) -> jnp.ndarray:
+    """Greedy suppression over score-sorted candidates, batched.
+
+    Args:
+      iou: (..., K, K) pairwise IoU of candidates sorted by descending score.
+      valid: (..., K) candidate validity (score >= threshold).
+      iou_threshold: suppression threshold (reference 0.45).
+
+    Returns (..., K) keep mask.  A candidate is kept iff it is valid and no
+    earlier kept candidate overlaps it >= threshold — the exact semantics of
+    the reference's suppress-mask loop (`Losses.py:44-56`).
+    """
+    k = iou.shape[-1]
+    suppress = jnp.zeros(iou.shape[:-1], dtype=bool)
+
+    def body(i, suppress):
+        row = jax.lax.dynamic_index_in_dim(
+            iou, i, axis=iou.ndim - 2, keepdims=False)     # (..., K)
+        prev = jax.lax.dynamic_index_in_dim(
+            suppress, i, axis=suppress.ndim - 1, keepdims=False)  # (...,)
+        active = jnp.logical_and(
+            jnp.logical_not(prev),
+            jax.lax.dynamic_index_in_dim(valid, i, axis=valid.ndim - 1,
+                                         keepdims=False))
+        new = jnp.where(active[..., None],
+                        jnp.logical_or(suppress, row >= iou_threshold),
+                        suppress)
+        # A box never suppresses itself (`Losses.py:55`).
+        new = jax.lax.dynamic_update_index_in_dim(
+            new, prev, i, axis=suppress.ndim - 1)
+        return new
+
+    suppress = jax.lax.fori_loop(0, k, body, suppress)
+    return jnp.logical_and(valid, jnp.logical_not(suppress))
+
+
+def _postprocess_single(pred_offsets: jnp.ndarray, pred_logits: jnp.ndarray,
+                        priors_cxcywh: jnp.ndarray,
+                        config: PostprocessConfig) -> Detections:
+    """One image: (P, 4) offsets + (P, C) logits -> top-k detections."""
+    k = config.per_class_top_k
+    decoded = box_ops.cxcywh_to_xyxy(
+        box_ops.decode(pred_offsets, priors_cxcywh))       # (P, 4)
+    probs = jax.nn.softmax(pred_logits, axis=-1)           # (P, C)
+
+    # Per-class top-K candidate slots (fixed shape).  (C20, K)
+    cls_scores = probs[:, :NUM_CLASSES].T                  # (20, P)
+    top_scores, top_idx = jax.lax.top_k(cls_scores, k)     # (20, K) sorted desc
+    cand_boxes = decoded[top_idx]                          # (20, K, 4)
+    valid = top_scores >= config.score_threshold
+
+    iou = box_ops.pairwise_iou(cand_boxes, cand_boxes)     # (20, K, K)
+    keep = greedy_nms_mask(iou, valid, config.nms_iou_threshold)
+
+    kept_scores = jnp.where(keep, top_scores, 0.0)         # (20, K)
+    flat_scores = kept_scores.reshape(-1)                  # (20*K,)
+    flat_boxes = cand_boxes.reshape(-1, 4)
+    flat_classes = jnp.repeat(
+        jnp.arange(NUM_CLASSES, dtype=jnp.int32), k)
+
+    final_scores, final_idx = jax.lax.top_k(flat_scores, config.top_k)
+    final_boxes = flat_boxes[final_idx]
+    final_classes = flat_classes[final_idx]
+    final_valid = final_scores > 0.0
+    return Detections(final_boxes, final_scores,
+                      jnp.where(final_valid, final_classes, 0), final_valid)
+
+
+def postprocess(pred_offsets: jnp.ndarray, pred_logits: jnp.ndarray,
+                priors_cxcywh: jnp.ndarray,
+                config: PostprocessConfig = PostprocessConfig()) -> Detections:
+    """Batched post-processing: (B, P, 4), (B, P, C) -> Detections.
+
+    Safe to wrap in `jax.jit` together with the model forward so that image
+    -> final boxes never leaves the device (BASELINE.json north star).
+    """
+    if config.use_pallas_nms:
+        from objectdetection_ssd_tpu.infer import nms_pallas
+        return nms_pallas.postprocess_pallas(
+            pred_offsets, pred_logits, priors_cxcywh, config)
+    return jax.vmap(
+        lambda o, l: _postprocess_single(o, l, priors_cxcywh, config)
+    )(pred_offsets, pred_logits)
+
+
+def scale_detections(dets: Detections, image_sizes_wh: jnp.ndarray
+                     ) -> Detections:
+    """Scale normalized boxes to pixel coords (reference `Losses.py:87-89`).
+
+    image_sizes_wh: (B, 2) original (width, height) per image.
+    """
+    wh = image_sizes_wh.astype(dets.boxes_xyxy.dtype)
+    scale = jnp.concatenate([wh, wh], axis=-1)[:, None, :]  # (B, 1, 4)
+    return dets._replace(boxes_xyxy=dets.boxes_xyxy * scale)

@@ -1,0 +1,124 @@
+"""Feature-extractor trunks: VGG-16 (SSD300 flavor) and ResNet-34.
+
+These are new Flax/NHWC designs that reproduce the *feature-map geometry*
+the reference obtains from torchvision trunks:
+
+* VGG-16 (`Model.py:131-162`): conv1_1..conv4_3 with a ceil-mode pool3 so
+  300 -> 150 -> 75 -> 38; conv4_3 tap at 38x38x512; pool4 -> 19; conv5 block;
+  3x3-stride-1 pool5; atrous conv_fc6 (3x3, dilation 4, padding 4) and 1x1
+  conv_fc7 -> 19x19x1024.  The fc6/fc7 layers are convs whose pretrained
+  weights come from subsampling VGG's fully-connected layers
+  (`Model.py:145-161`, see models/convert.py).
+
+* ResNet-34 (`Model.py:21-30`): 7x7/2 stem + maxpool, stages [3,4,6,3] with
+  channels [64,128,256,512]; the reference runs it frozen under
+  torch.no_grad() (`Model.py:81-86`), reproduced via stop_gradient.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from objectdetection_ssd_tpu.models.layers import TorchConv, max_pool
+
+Dtype = Any
+
+
+class VGG16Trunk(nn.Module):
+    """VGG-16 features through conv_fc7, returning the two SSD taps.
+
+    Returns (conv4_3 tap (B,38,38,512) BEFORE L2-norm, fc7 tap (B,19,19,1024)).
+    """
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        def block(x, features, n, name):
+            for i in range(n):
+                x = TorchConv(features, kernel=3, padding=1,
+                              dtype=self.dtype,
+                              name=f"{name}_{i + 1}")(x)
+                x = nn.relu(x)
+            return x
+
+        x = block(x, 64, 2, "conv1")
+        x = max_pool(x, 2, 2)                       # 300 -> 150
+        x = block(x, 128, 2, "conv2")
+        x = max_pool(x, 2, 2)                       # 150 -> 75
+        x = block(x, 256, 3, "conv3")
+        x = max_pool(x, 2, 2, ceil_mode=True)       # 75 -> 38 (ceil, Model.py:137)
+        x = block(x, 512, 3, "conv4")
+        conv4_3 = x                                  # (B, 38, 38, 512)
+
+        x = max_pool(x, 2, 2)                       # 38 -> 19
+        x = block(x, 512, 3, "conv5")
+        x = max_pool(x, 3, 1, padding=1)            # 19 -> 19 (Model.py:142)
+
+        # Atrous fc6/fc7-as-convs (Model.py:149-162).
+        x = TorchConv(1024, kernel=3, padding=4, dilation=4,
+                      dtype=self.dtype, name="conv_fc6")(x)
+        x = nn.relu(x)
+        x = TorchConv(1024, kernel=1, dtype=self.dtype, name="conv_fc7")(x)
+        x = nn.relu(x)
+        return conv4_3, x
+
+
+class BasicBlock(nn.Module):
+    """ResNet v1 basic block (two 3x3 convs + identity/projection)."""
+
+    features: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        residual = x
+        y = TorchConv(self.features, kernel=3, stride=self.stride, padding=1,
+                      use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         name="bn1")(y)
+        y = nn.relu(y)
+        y = TorchConv(self.features, kernel=3, padding=1, use_bias=False,
+                      dtype=self.dtype, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         name="bn2")(y)
+        if residual.shape != y.shape:
+            residual = TorchConv(self.features, kernel=1, stride=self.stride,
+                                 use_bias=False, dtype=self.dtype,
+                                 name="downsample_conv")(x)
+            residual = nn.BatchNorm(use_running_average=not train,
+                                    dtype=self.dtype,
+                                    name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet34Trunk(nn.Module):
+    """ResNet-34 trunk; returns the final 512-channel stage output.
+
+    For 224x224 inputs the stage outputs are 56/28/14/7 px, matching the
+    reference's seq1..seq5 taps (`Model.py:82-86`).
+    """
+
+    dtype: Dtype = jnp.float32
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    stage_features: Sequence[int] = (64, 128, 256, 512)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = TorchConv(64, kernel=7, stride=2, padding=3, use_bias=False,
+                      dtype=self.dtype, name="stem_conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         name="stem_bn")(x)
+        x = nn.relu(x)
+        x = max_pool(x, 3, 2, padding=1)
+        for s, (n, f) in enumerate(zip(self.stage_sizes, self.stage_features)):
+            for b in range(n):
+                stride = 2 if (s > 0 and b == 0) else 1
+                x = BasicBlock(f, stride=stride, dtype=self.dtype,
+                               name=f"layer{s + 1}_block{b + 1}")(x, train)
+        return x

@@ -1,0 +1,116 @@
+"""Building-block layers with exact torch-convolution spatial semantics.
+
+The SSD300 feature pyramid only lines up with the 8732-prior grid if every
+conv/pool reproduces torch's output-size arithmetic
+(out = floor((in + 2p - k)/s) + 1).  XLA's 'SAME' padding places windows
+differently for some stride-2 cases (e.g. 10 -> 5 pads (0,1) where torch pads
+(1,1)), which would silently misalign imported pretrained weights — so every
+layer here uses explicit symmetric padding.
+
+Layout is NHWC throughout (TPU-native); the reference is NCHW
+(`Model.py:203-235`) but only channel order at the head reshape matters for
+parity, and NHWC reshape matches torch's permute(0,2,3,1)+view flattening.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Dtype = Any
+
+# Xavier-uniform + zero bias: the reference's init for all non-backbone convs
+# (`Model.py:198-200`).
+xavier_conv_kwargs = dict(
+    kernel_init=nn.initializers.xavier_uniform(),
+    bias_init=nn.initializers.zeros,
+)
+
+
+class TorchConv(nn.Module):
+    """Conv2D with torch-style symmetric explicit padding and dilation."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        p = self.padding
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=((p, p), (p, p)),
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            kernel_init=self.kernel_init,
+            bias_init=self.bias_init,
+        )(x)
+
+
+def max_pool(x: jnp.ndarray, window: int, stride: int,
+             padding: int = 0, ceil_mode: bool = False) -> jnp.ndarray:
+    """Max pool with torch semantics, including ceil_mode.
+
+    torch's ceil_mode pool (reference pool3, `Model.py:137`) extends the
+    output grid to ceil((in + 2p - k)/s) + 1 by implicitly padding the
+    bottom/right edge; padded lanes never win the max because we pad with
+    -inf.  Plain padding (reference pool5's padding=1, `Model.py:142`) is
+    also -inf in torch max-pooling.
+    """
+    h, w = x.shape[1], x.shape[2]
+
+    def pad_amounts(size: int) -> Tuple[int, int]:
+        lo = padding
+        if ceil_mode:
+            out = -(-(size + 2 * padding - window) // stride) + 1
+        else:
+            out = (size + 2 * padding - window) // stride + 1
+        hi = max((out - 1) * stride + window - size - lo, 0)
+        return lo, hi
+
+    pads = (pad_amounts(h), pad_amounts(w))  # spatial dims only
+    return nn.max_pool(x, (window, window), strides=(stride, stride),
+                       padding=pads)
+
+
+class L2Norm(nn.Module):
+    """Channelwise L2 normalization with a learnable per-channel rescale.
+
+    Matches the reference conv4_3 treatment (`Model.py:132-133,206-210`):
+    x / ||x||_2(channels) * scale, scale initialized to 20.
+    """
+
+    scale_init: float = 20.0
+    epsilon: float = 1e-12
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param(
+            "scale",
+            lambda key, shape: jnp.full(shape, self.scale_init, jnp.float32),
+            (x.shape[-1],))
+        norm = jnp.sqrt(
+            jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1,
+                    keepdims=True) + self.epsilon)
+        return (x / norm.astype(x.dtype)) * scale.astype(x.dtype)
+
+
+def flatten_head(x: jnp.ndarray, last: int) -> jnp.ndarray:
+    """(B, H, W, k*last) -> (B, H*W*k, last).
+
+    Equivalent to the reference's permute(0,2,3,1)+view (`Model.py:212`):
+    rows ordered by (row, col, anchor), matching prior-generation order.
+    """
+    b = x.shape[0]
+    return x.reshape(b, -1, last)

@@ -1,0 +1,155 @@
+"""Data layer tests on the synthetic VOC fixture (no dataset download)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from objectdetection_ssd_tpu.config import DataConfig
+from objectdetection_ssd_tpu.data import augment, pipeline, synthetic, voc
+
+
+@pytest.fixture(scope="module")
+def voc_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("VOCdevkit")
+    return synthetic.generate_voc(str(root), num_2007=8, num_2012=4, seed=3)
+
+
+def test_file_lists(voc_root):
+    images, xmls = voc.voc_file_lists(voc_root, train=True)
+    assert len(images) == len(xmls) == 12
+    # 2007 first, zero-padded ids (`DataLists.py:41`)
+    assert images[0].endswith("VOC2007/JPEGImages/000001.jpg")
+    assert images[-1].endswith("VOC2012/JPEGImages/2012_0004.jpg")
+    test_images, _ = voc.voc_file_lists(voc_root, train=False)
+    assert len(test_images) == 4
+
+
+def test_parse_xml(voc_root):
+    _, xmls = voc.voc_file_lists(voc_root, train=True)
+    boxes, classes, difficult = voc.parse_voc_xml(xmls[0])
+    assert boxes.shape[1] == 4 and len(boxes) >= 1
+    assert len(classes) == len(boxes) == len(difficult)
+    assert (classes >= 0).all() and (classes < 20).all()
+    # 1-indexed XML -> 0-indexed pixels (`DataLists.py:22-25`)
+    assert boxes.min() >= 0
+
+
+def test_parse_xml_skips_unknown_labels(tmp_path):
+    p = tmp_path / "bad.xml"
+    p.write_text("""<annotation><object><name>unicorn</name>
+      <difficult>0</difficult>
+      <bndbox><xmin>1</xmin><ymin>1</ymin><xmax>5</xmax><ymax>5</ymax></bndbox>
+      </object><object><name>cat</name><difficult>1</difficult>
+      <bndbox><xmin>2</xmin><ymin>3</ymin><xmax>9</xmax><ymax>9</ymax></bndbox>
+      </object></annotation>""")
+    boxes, classes, difficult = voc.parse_voc_xml(str(p))
+    assert len(boxes) == 1 and classes[0] == 7 and difficult[0]
+    np.testing.assert_allclose(boxes[0], [1, 2, 8, 8])
+
+
+def test_load_records_and_difficult_filter(voc_root):
+    records = voc.load_records(voc_root, train=True)
+    assert len(records) == 12
+    rec = records[0]
+    filtered = rec.without_difficult()
+    assert len(filtered.boxes_xyxy) == (~rec.difficulties).sum()
+
+
+def test_split_deterministic_without_replacement():
+    tr1, va1 = voc.train_val_split(1000, 0.1, seed=10)
+    tr2, va2 = voc.train_val_split(1000, 0.1, seed=10)
+    np.testing.assert_array_equal(tr1, tr2)
+    np.testing.assert_array_equal(va1, va2)
+    assert len(va1) == 100 and len(np.unique(va1)) == 100
+    assert len(np.intersect1d(tr1, va1)) == 0
+    assert len(tr1) + len(va1) == 1000
+
+
+def test_split_parity_mode_matches_torch():
+    import torch
+    tr, va = voc.train_val_split(100, 0.1, seed=10, parity=True)
+    torch.random.manual_seed(10)
+    want = torch.randint(0, 100, (10,)).tolist()
+    assert set(va.tolist()) == set(want)
+    assert len(np.intersect1d(tr, va)) == 0
+
+
+def test_hflip_reference_math():
+    img = np.zeros((10, 20, 3), np.float32)
+    boxes = np.asarray([[2.0, 1.0, 6.0, 5.0]], np.float32)
+    _, flipped = augment.hflip(img, boxes)
+    # x' = w - x - 1: xmin 2 -> 17, xmax 6 -> 13, then columns swapped.
+    np.testing.assert_allclose(flipped, [[13.0, 1.0, 17.0, 5.0]])
+
+
+def test_expand_keeps_boxes_on_image():
+    rng = np.random.default_rng(0)
+    img = np.ones((40, 60, 3), np.float32) * 0.5
+    boxes = np.asarray([[10, 10, 30, 30]], np.float32)
+    big, new_boxes = augment.expand(img, boxes, rng)
+    assert big.shape[0] >= 40 and big.shape[1] >= 60
+    w = new_boxes[0, 2] - new_boxes[0, 0]
+    assert w == 20  # translation only
+    assert new_boxes.min() >= 0
+    assert new_boxes[0, 2] <= big.shape[1] and new_boxes[0, 3] <= big.shape[0]
+
+
+def test_random_crop_keeps_centered_boxes():
+    rng = np.random.default_rng(1)
+    img = np.ones((100, 100, 3), np.float32)
+    boxes = np.asarray([[40, 40, 60, 60]], np.float32)
+    labels = np.asarray([5], np.int32)
+    for _ in range(5):
+        ci, cb, cl = augment.random_crop(img, boxes, labels, rng)
+        assert ci.shape[0] >= 30 and ci.shape[1] >= 30
+        if len(cb):
+            assert (cb[:, 2:] > cb[:, :2]).all()
+            assert cb[:, 0].min() >= 0 and cb[:, 2].max() <= ci.shape[1]
+
+
+def test_photometric_stays_in_range():
+    rng = np.random.default_rng(2)
+    img = rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+    for _ in range(10):
+        out = augment.photometric_distort(img, rng)
+        assert out.min() >= 0.0 and out.max() <= 1.0
+        assert out.shape == img.shape
+
+
+def test_hue_identity():
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 1, (8, 8, 3)).astype(np.float32)
+    np.testing.assert_allclose(augment.adjust_hue(img, 0.0), img, atol=1e-5)
+
+
+def test_loader_batches(voc_root):
+    records = voc.load_records(voc_root, train=True)
+    cfg = DataConfig(batch_size=4, num_workers=0, max_boxes=8)
+    loader = pipeline.Loader(records, cfg, image_size=300, train=True, seed=0)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 3  # 12 images / bs 4
+    b = batches[0]
+    assert b["images"].shape == (4, 300, 300, 3)
+    assert b["boxes"].shape == (4, 8, 4)
+    assert b["classes"].shape == (4, 8)
+    assert b["mask"].shape == (4, 8)
+    assert b["mask"].any()
+    assert (b["boxes"] >= 0).all() and (b["boxes"] <= 1).all()
+    # images are ImageNet-normalized: values well outside [0,1]
+    assert b["images"].min() < -0.5
+
+
+def test_loader_eval_deterministic(voc_root):
+    records = voc.load_records(voc_root, train=True)
+    cfg = DataConfig(batch_size=4, num_workers=0, max_boxes=8)
+    loader = pipeline.Loader(records, cfg, train=False)
+    b1 = next(iter(loader.epoch(0)))
+    b2 = next(iter(loader.epoch(1)))
+    np.testing.assert_allclose(b1["images"], b2["images"])
+    np.testing.assert_array_equal(b1["image_ids"], b2["image_ids"])
+
+
+def test_prefetch_preserves_order():
+    items = list(range(20))
+    assert list(pipeline.prefetch(iter(items), size=3)) == items

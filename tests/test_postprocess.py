@@ -1,0 +1,161 @@
+"""Tests for fixed-shape on-device NMS / postprocess vs a numpy oracle that
+transcribes the reference's suppression loop (`Losses.py:44-56`) and
+per-class/threshold/top-k flow (`Losses.py:27-81`)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from objectdetection_ssd_tpu.config import PostprocessConfig
+from objectdetection_ssd_tpu.infer.postprocess import (Detections,
+                                                       greedy_nms_mask,
+                                                       postprocess,
+                                                       scale_detections)
+from objectdetection_ssd_tpu.ops import boxes as box_ops
+
+
+def _np_iou(a, b):
+    lo = np.maximum(a[:, None, :2], b[None, :, :2])
+    hi = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(hi - lo, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    aa = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    ab = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    return inter / (aa[:, None] + ab[None, :] - inter)
+
+
+def _oracle_nms(boxes, scores, iou_thr):
+    """Reference suppression loop on score-sorted candidates; returns kept
+    indices into the sorted order."""
+    order = np.argsort(-scores, kind="stable")
+    boxes, scores = boxes[order], scores[order]
+    iou = _np_iou(boxes, boxes)
+    n = len(boxes)
+    suppress = np.zeros(n, bool)
+    for i in range(n):
+        if suppress[i]:
+            continue
+        suppress |= iou[i] >= iou_thr
+        suppress[i] = False
+    return order[~suppress]
+
+
+def test_greedy_nms_golden_chain():
+    # Three boxes: A overlaps B heavily, B overlaps C heavily, A-C disjoint.
+    # Greedy keeps A, suppresses B; C survives because B (suppressed) never
+    # acts — the exact reference semantics (`if suppress[box]: continue`).
+    boxes = np.array([[0.0, 0.0, 1.0, 1.0],
+                      [0.05, 0.0, 1.05, 1.0],
+                      [1.0, 0.0, 2.0, 1.0]], np.float32)
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    iou = jnp.asarray(_np_iou(boxes, boxes))
+    keep = greedy_nms_mask(iou, jnp.ones(3, bool), 0.45)
+    assert keep.tolist() == [True, False, True]
+    np.testing.assert_array_equal(_oracle_nms(boxes, scores, 0.45), [0, 2])
+
+
+def test_greedy_nms_suppressed_box_does_not_suppress():
+    # B suppressed by A; C overlaps B but not A -> C kept.
+    boxes = np.array([[0.0, 0.0, 1.0, 1.0],
+                      [0.4, 0.0, 1.4, 1.0],
+                      [0.9, 0.0, 1.9, 1.0]], np.float32)
+    iou = _np_iou(boxes, boxes)
+    assert iou[0, 1] >= 0.4 and iou[1, 2] >= 0.3 and iou[0, 2] < 0.1
+    keep = greedy_nms_mask(jnp.asarray(iou), jnp.ones(3, bool), 0.3)
+    assert keep.tolist() == [True, False, True]
+
+
+def test_greedy_nms_invalid_never_acts_or_survives():
+    boxes = np.array([[0.0, 0.0, 1.0, 1.0],
+                      [0.05, 0.0, 1.05, 1.0]], np.float32)
+    iou = jnp.asarray(_np_iou(boxes, boxes))
+    keep = greedy_nms_mask(iou, jnp.asarray([False, True]), 0.45)
+    # invalid top box must not suppress the second one
+    assert keep.tolist() == [False, True]
+
+
+def test_greedy_nms_random_matches_oracle():
+    rng = np.random.default_rng(0)
+    n = 64
+    lo = rng.uniform(0, 0.7, (n, 2))
+    wh = rng.uniform(0.05, 0.3, (n, 2))
+    boxes = np.concatenate([lo, lo + wh], 1).astype(np.float32)
+    scores = np.sort(rng.uniform(0.2, 1.0, n).astype(np.float32))[::-1]
+    iou = _np_iou(boxes, boxes)
+    keep = greedy_nms_mask(jnp.asarray(iou), jnp.ones(n, bool), 0.45)
+    want = np.zeros(n, bool)
+    want[_oracle_nms(boxes, scores, 0.45)] = True
+    np.testing.assert_array_equal(np.asarray(keep), want)
+
+
+def _toy_predictions():
+    """4 priors; craft logits so class scores are controlled."""
+    priors = np.array([[0.25, 0.25, 0.3, 0.3],
+                       [0.27, 0.25, 0.3, 0.3],     # overlaps prior 0
+                       [0.75, 0.75, 0.3, 0.3],
+                       [0.5, 0.5, 0.2, 0.2]], np.float32)
+    P = priors.shape[0]
+    offsets = np.zeros((1, P, 4), np.float32)      # predict the priors as-is
+    logits = np.full((1, P, 21), -10.0, np.float32)
+    logits[0, :, 20] = 0.0                          # bg default
+    logits[0, 0, 3] = 6.0                           # strong class-3 at prior 0
+    logits[0, 1, 3] = 5.0                           # weaker, overlapping
+    logits[0, 2, 7] = 6.0                           # class-7 detection
+    logits[0, 3, :] = 0.0                           # uniform -> below 0.2
+    return priors, offsets, logits
+
+
+def test_postprocess_end_to_end():
+    priors, offsets, logits = _toy_predictions()
+    cfg = PostprocessConfig(per_class_top_k=4, top_k=8)
+    dets = jax.jit(lambda o, l: postprocess(o, l, jnp.asarray(priors), cfg))(
+        jnp.asarray(offsets), jnp.asarray(logits))
+    valid = np.asarray(dets.valid[0])
+    classes = np.asarray(dets.classes[0])[valid]
+    scores = np.asarray(dets.scores[0])[valid]
+    boxes = np.asarray(dets.boxes_xyxy[0])[valid]
+    # prior-1's class-3 det suppressed by prior-0's (IoU ~0.87 > 0.45);
+    # prior-3's uniform logits give ~1/21 < 0.2 -> dropped by threshold.
+    assert sorted(classes.tolist()) == [3, 7]
+    assert (scores > 0.9).all()
+    want0 = box_ops.cxcywh_to_xyxy(jnp.asarray(priors[0]))
+    got3 = boxes[classes.tolist().index(3)]
+    np.testing.assert_allclose(got3, want0, atol=1e-6)
+
+
+def test_postprocess_empty_when_all_background():
+    priors = np.array([[0.5, 0.5, 0.2, 0.2]] * 3, np.float32)
+    offsets = np.zeros((2, 3, 4), np.float32)
+    logits = np.zeros((2, 3, 21), np.float32)
+    logits[..., 20] = 10.0
+    cfg = PostprocessConfig(per_class_top_k=3, top_k=5)
+    dets = postprocess(jnp.asarray(offsets), jnp.asarray(logits),
+                       jnp.asarray(priors), cfg)
+    assert not np.asarray(dets.valid).any()
+
+
+def test_postprocess_global_topk_caps_output():
+    rng = np.random.default_rng(1)
+    P = 32
+    lo = rng.uniform(0, 0.9, (P, 2)).astype(np.float32)
+    priors = np.concatenate([lo, np.full((P, 2), 0.02, np.float32)], 1)
+    offsets = np.zeros((1, P, 4), np.float32)
+    logits = np.zeros((1, P, 21), np.float32)
+    logits[0, :, :20] = 5.0  # every class confident everywhere; tiny boxes
+    cfg = PostprocessConfig(per_class_top_k=8, top_k=10,
+                            score_threshold=0.01)
+    dets = postprocess(jnp.asarray(offsets), jnp.asarray(logits),
+                       jnp.asarray(priors), cfg)
+    assert dets.boxes_xyxy.shape == (1, 10, 4)
+    assert np.asarray(dets.valid[0]).sum() == 10
+
+
+def test_scale_detections():
+    dets = Detections(
+        boxes_xyxy=jnp.asarray([[[0.1, 0.2, 0.5, 0.8]]]),
+        scores=jnp.asarray([[0.9]]),
+        classes=jnp.asarray([[2]]),
+        valid=jnp.asarray([[True]]))
+    out = scale_detections(dets, jnp.asarray([[200, 100]]))
+    np.testing.assert_allclose(
+        out.boxes_xyxy[0, 0], [20.0, 20.0, 100.0, 80.0], atol=1e-5)
