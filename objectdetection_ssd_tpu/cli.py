@@ -1,0 +1,171 @@
+"""Command-line interface: train / eval / detect subcommands.
+
+The reference has no CLI — `train.py` runs on import with every
+hyperparameter hard-coded (SURVEY.md §5 "Config / flag system: none").
+Here all knobs live in `config.Config` and can be overridden by flags.
+
+Usage:
+  python -m objectdetection_ssd_tpu.cli train --voc-root VOCdevkit --epochs 5
+  python -m objectdetection_ssd_tpu.cli eval --voc-root VOCdevkit
+  python -m objectdetection_ssd_tpu.cli detect img1.jpg img2.jpg
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from objectdetection_ssd_tpu import config as config_lib
+
+
+def _common_flags(p: argparse.ArgumentParser):
+    p.add_argument("--voc-root", default="VOCdevkit")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--num-workers", type=int, default=None)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--backbone", choices=["vgg16", "resnet34"], default=None)
+    p.add_argument("--parity-split", action="store_true",
+                   help="replicate the reference's with-replacement val split")
+    p.add_argument("--synthetic", action="store_true",
+                   help="generate a synthetic VOC fixture at --voc-root "
+                        "(for smoke tests without the dataset)")
+
+
+def build_config(args) -> config_lib.Config:
+    cfg = config_lib.Config()
+    data_kw = {"voc_root": args.voc_root,
+               "parity_split": args.parity_split}
+    if args.batch_size is not None:
+        data_kw["batch_size"] = args.batch_size
+    if args.num_workers is not None:
+        data_kw["num_workers"] = args.num_workers
+    cfg = cfg.replace(data=dataclasses.replace(cfg.data, **data_kw))
+    if args.checkpoint_dir is not None:
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, checkpoint_dir=args.checkpoint_dir))
+    if args.backbone is not None:
+        image_size = 300 if args.backbone == "vgg16" else 224
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, backbone=args.backbone, image_size=image_size))
+    return cfg
+
+
+def _load_split(cfg: config_lib.Config, args):
+    from objectdetection_ssd_tpu.data import synthetic, voc
+    if args.synthetic:
+        synthetic.generate_voc(cfg.data.voc_root, num_2007=32, num_2012=16)
+    records = voc.load_records(cfg.data.voc_root, train=True,
+                               num_workers=cfg.data.num_workers)
+    train_ids, val_ids = voc.train_val_split(
+        len(records), cfg.data.val_fraction, cfg.data.split_seed,
+        parity=cfg.data.parity_split)
+    return ([records[i] for i in train_ids],
+            [records[i] for i in val_ids])
+
+
+def cmd_train(args) -> int:
+    from objectdetection_ssd_tpu.data.pipeline import Loader
+    from objectdetection_ssd_tpu.train.trainer import Trainer
+    cfg = build_config(args)
+    if args.epochs is not None:
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, num_epochs=args.epochs))
+    train_recs, val_recs = _load_split(cfg, args)
+    train_loader = Loader(train_recs, cfg.data, cfg.model.image_size,
+                          train=True, seed=cfg.train.seed)
+    eval_loader = Loader(val_recs, cfg.data, cfg.model.image_size,
+                         train=False)
+    trainer = Trainer(cfg, train_loader, eval_loader)
+    if args.resume:
+        trainer.maybe_resume()
+    trainer.fit()
+    return 0
+
+
+def cmd_eval(args) -> int:
+    from objectdetection_ssd_tpu.eval.evaluate import evaluate_records
+    from objectdetection_ssd_tpu.train import trainer as trainer_lib
+    cfg = build_config(args)
+    _, val_recs = _load_split(cfg, args)
+    params, batch_stats = _restore_params(cfg)
+    aps, mean_ap = evaluate_records(cfg, params, val_recs,
+                                    batch_stats=batch_stats)
+    for name, ap in aps.items():
+        print(f"{name:>12s}  AP = {ap:.4f}")
+    print(f"{'mAP':>12s} = {mean_ap:.4f}")
+    return 0
+
+
+def cmd_detect(args) -> int:
+    from objectdetection_ssd_tpu.infer.detector import Detector
+    cfg = build_config(args)
+    params, batch_stats = _restore_params(cfg)
+    det = Detector(cfg, params, batch_stats)
+    results = det.detect_images(args.images)
+    for path, res in zip(args.images, results):
+        print(path)
+        for box, label, score in zip(res["boxes_xyxy"], res["labels"],
+                                     res["scores"]):
+            print(f"  {label:>12s} {score:.3f} "
+                  f"[{box[0]:.0f}, {box[1]:.0f}, {box[2]:.0f}, {box[3]:.0f}]")
+        if args.draw:
+            from objectdetection_ssd_tpu.utils import viz
+            out = path + ".det.png"
+            viz.draw_detections(path, res["boxes_xyxy"], res["labels"],
+                                res["scores"], save_path=out)
+            print(f"  -> {out}")
+    return 0
+
+
+def _restore_params(cfg: config_lib.Config):
+    """Restore params (+ batch_stats) from the latest checkpoint, or fresh
+    random init when no checkpoint exists."""
+    import jax
+    import jax.numpy as jnp
+    from objectdetection_ssd_tpu.models.ssd import build_model
+    from objectdetection_ssd_tpu.train.checkpoint import CheckpointManager
+    from objectdetection_ssd_tpu.train.state import create_train_state
+    model = build_model(cfg.model)
+    sample = jnp.zeros((1, cfg.model.image_size, cfg.model.image_size, 3))
+    state = create_train_state(model, jax.random.PRNGKey(cfg.train.seed),
+                               sample, cfg.optim)
+    try:
+        mgr = CheckpointManager(cfg.train.checkpoint_dir)
+        state, _, epoch = mgr.restore(state)
+        print(f"restored checkpoint epoch {epoch}", file=sys.stderr)
+    except FileNotFoundError:
+        print("no checkpoint found; using random init", file=sys.stderr)
+    return state.params, state.batch_stats
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    parser = argparse.ArgumentParser(prog="objectdetection_ssd_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_train = sub.add_parser("train", help="train SSD on VOC07+12")
+    _common_flags(p_train)
+    p_train.add_argument("--epochs", type=int, default=None)
+    p_train.add_argument("--resume", action="store_true")
+    p_train.set_defaults(fn=cmd_train)
+
+    p_eval = sub.add_parser("eval", help="evaluate mAP on the val split")
+    _common_flags(p_eval)
+    p_eval.set_defaults(fn=cmd_eval)
+
+    p_det = sub.add_parser("detect", help="detect objects in images")
+    _common_flags(p_det)
+    p_det.add_argument("images", nargs="+")
+    p_det.add_argument("--draw", action="store_true")
+    p_det.set_defaults(fn=cmd_detect)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

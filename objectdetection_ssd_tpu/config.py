@@ -104,7 +104,17 @@ class PostprocessConfig:
     score_threshold: float = 0.2
     nms_iou_threshold: float = 0.45
     top_k: int = 200                   # global cap across classes
-    per_class_top_k: int = 200         # fixed-shape per-class candidate slots
+    # Fixed-shape per-class candidate slots. 128 is TPU-lane aligned; with a
+    # trained model and threshold 0.2 per-class candidate counts are far
+    # below this, so truncation never bites in practice.
+    per_class_top_k: int = 128
+    # approx_max_k is the TPU-native top-k (per-lane binning); exact lax.top_k
+    # behind the flag for bit-parity runs.
+    use_approx_top_k: bool = True
+    approx_recall_target: float = 0.95
+    # Unroll the greedy-suppression recurrence at trace time (no per-step XLA
+    # while-loop overhead); the fori_loop variant is for very large K.
+    nms_unrolled: bool = True
     use_pallas_nms: bool = False
 
 

@@ -1,0 +1,66 @@
+"""End-to-end evaluation: run the detector over a record set, compute mAP.
+
+Covers the reference's notebook evaluation path (SURVEY.md §3.5): forward +
+inference per image, accumulate det/GT lists, `get_map`.  Here the forward +
+postprocess runs batched and jitted on device; only the final fixed-size
+detection tensors come back to the host.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from objectdetection_ssd_tpu.config import Config
+from objectdetection_ssd_tpu.data import pipeline as data_pipeline
+from objectdetection_ssd_tpu.data.voc import ImageRecord
+from objectdetection_ssd_tpu.eval.voc_map import voc_map
+from objectdetection_ssd_tpu.infer.detector import Detector
+from objectdetection_ssd_tpu.infer.postprocess import scale_detections
+
+
+def evaluate_records(config: Config, params: Any, records: List[ImageRecord],
+                     batch_stats: Any = None,
+                     batch_size: Optional[int] = None,
+                     keep_difficult: Optional[bool] = None
+                     ) -> Tuple[Dict[str, float], float]:
+    """Returns (per-class AP, mAP) over ``records``.
+
+    GT handling matches the reference protocol: difficult objects are
+    dropped before matching (`Dataset.py:29-31`), detections and GT compared
+    in normalized [0,1] coordinates (scale cancels in IoU).
+    """
+    detector = Detector(config, params, batch_stats)
+    bs = batch_size or config.data.batch_size
+    size = config.model.image_size
+    if keep_difficult is None:
+        keep_difficult = config.data.keep_difficult
+
+    det_boxes, det_classes, det_scores = [], [], []
+    gt_boxes, gt_classes = [], []
+
+    for start in range(0, len(records), bs):
+        chunk = records[start:start + bs]
+        imgs, metas = [], []
+        for rec in chunk:
+            r = rec if keep_difficult else rec.without_difficult()
+            raw = data_pipeline.load_image(r.image_path)
+            h, w = raw.shape[:2]
+            imgs.append(data_pipeline.normalize_image(
+                data_pipeline.resize_image(raw, size)))
+            norm = r.boxes_xyxy / np.asarray([w, h, w, h], np.float32)
+            gt_boxes.append(norm.astype(np.float32))
+            gt_classes.append(r.classes)
+        # Pad the tail batch to the static batch size (one compilation).
+        n_real = len(imgs)
+        while len(imgs) < bs:
+            imgs.append(imgs[-1])
+        dets = detector.detect_batch(np.stack(imgs))
+        for i in range(n_real):
+            valid = np.asarray(dets.valid[i])
+            det_boxes.append(np.asarray(dets.boxes_xyxy[i])[valid])
+            det_classes.append(np.asarray(dets.classes[i])[valid])
+            det_scores.append(np.asarray(dets.scores[i])[valid])
+
+    return voc_map(det_boxes, det_classes, det_scores, gt_boxes, gt_classes)

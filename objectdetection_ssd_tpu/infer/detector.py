@@ -1,0 +1,78 @@
+"""User-facing detection API: image(s) -> final boxes, fully on device.
+
+Replaces the reference's notebook-invoked `inference` flow
+(`Losses.py:11-98` + the re-opened image file for sizing, `Losses.py:87`)
+with a single jitted program: preprocess tensors in, (boxes, classes,
+scores, valid) out — no per-class host loops, no `.cpu()` pulls mid-flight.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from objectdetection_ssd_tpu.config import (Config, ID_TO_CLASS,
+                                            PostprocessConfig)
+from objectdetection_ssd_tpu.data import pipeline as data_pipeline
+from objectdetection_ssd_tpu.infer.postprocess import (Detections,
+                                                       postprocess,
+                                                       scale_detections)
+from objectdetection_ssd_tpu.models.ssd import build_model
+from objectdetection_ssd_tpu.ops import priors as priors_lib
+
+
+class Detector:
+    """Bundles model apply + postprocess into one compiled inference path."""
+
+    def __init__(self, config: Config, params: Any,
+                 batch_stats: Any = None,
+                 postprocess_config: Optional[PostprocessConfig] = None):
+        self.config = config
+        self.model = build_model(config.model)
+        self.params = params
+        self.batch_stats = batch_stats
+        self.pp_config = postprocess_config or config.postprocess
+        self.priors = jnp.asarray(priors_lib.ssd300_priors(config.priors))
+
+        def _infer(params, batch_stats, images):
+            variables = {"params": params}
+            if batch_stats is not None:
+                variables["batch_stats"] = batch_stats
+            loc, conf = self.model.apply(variables, images, train=False)
+            return postprocess(loc, conf, self.priors, self.pp_config)
+
+        self._infer = jax.jit(_infer)
+
+    def detect_batch(self, images: jnp.ndarray) -> Detections:
+        """(B, S, S, 3) preprocessed images -> Detections (normalized boxes)."""
+        return self._infer(self.params, self.batch_stats, images)
+
+    def detect_images(self, paths: Sequence[str]
+                      ) -> List[Dict[str, np.ndarray]]:
+        """Decode, preprocess, run, and rescale to original pixel coords
+        (the reference rescales with the on-disk image size,
+        `Losses.py:87-89`)."""
+        size = self.config.model.image_size
+        imgs, sizes = [], []
+        for p in paths:
+            raw = data_pipeline.load_image(p)
+            sizes.append((raw.shape[1], raw.shape[0]))     # (w, h)
+            imgs.append(data_pipeline.normalize_image(
+                data_pipeline.resize_image(raw, size)))
+        batch = jnp.asarray(np.stack(imgs))
+        dets = self.detect_batch(batch)
+        dets = scale_detections(dets, jnp.asarray(sizes, jnp.float32))
+        out = []
+        for i in range(len(paths)):
+            valid = np.asarray(dets.valid[i])
+            classes = np.asarray(dets.classes[i])[valid]
+            out.append({
+                "boxes_xyxy": np.asarray(dets.boxes_xyxy[i])[valid],
+                "classes": classes,
+                "labels": np.asarray([ID_TO_CLASS[int(c)] for c in classes]),
+                "scores": np.asarray(dets.scores[i])[valid],
+            })
+        return out

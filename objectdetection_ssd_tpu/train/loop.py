@@ -1,0 +1,106 @@
+"""Jitted train/eval steps with first-class mesh sharding.
+
+One XLA program per step: forward, fused multibox loss, backward, SGD
+update.  The reference's step crosses host<->device repeatedly (ragged list
+copies `train_function.py:61-63`, Python batch loops in the loss, `.item()`
+sync every step `train_function.py:98`); here everything after the host
+batcher is device-resident, and with a multi-device ``data`` mesh XLA
+all-reduces gradients over ICI automatically (params replicated, batch
+sharded — SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from objectdetection_ssd_tpu.config import Config, LossConfig
+from objectdetection_ssd_tpu.losses.multibox import MultiboxLoss, multibox_loss
+from objectdetection_ssd_tpu.train.state import TrainState
+
+
+def _forward(state: TrainState, params, batch, priors, rng, train: bool):
+    """Model apply handling optional BN stats / dropout rngs."""
+    variables = {"params": params}
+    if state.batch_stats is not None:
+        variables["batch_stats"] = state.batch_stats
+    kwargs = {}
+    if train:
+        kwargs["rngs"] = {"dropout": rng}
+    if state.batch_stats is not None and train:
+        (loc, conf), updates = state.apply_fn(
+            variables, batch["images"], train=True,
+            mutable=["batch_stats"], **kwargs)
+        return loc, conf, updates["batch_stats"]
+    loc, conf = state.apply_fn(variables, batch["images"], train=train,
+                               **kwargs)
+    return loc, conf, state.batch_stats
+
+
+def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+               priors: jnp.ndarray,
+               loss_config: LossConfig = LossConfig()
+               ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One SGD step; returns (new_state, metrics)."""
+    rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+
+    def loss_fn(params):
+        loc, conf, new_stats = _forward(state, params, batch, priors, rng,
+                                        train=True)
+        loss = multibox_loss(loc, conf, batch["boxes"], batch["classes"],
+                             batch["mask"], priors, loss_config)
+        return loss.total, (loss, new_stats)
+
+    grads, (loss, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
+    new_state = state.apply_gradients(grads, batch_stats=new_stats)
+    metrics = {"loss": loss.total, "cls_loss": loss.cls,
+               "loc_loss": loss.loc,
+               "num_pos": loss.num_pos.astype(jnp.float32)}
+    return new_state, metrics
+
+
+def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+              priors: jnp.ndarray,
+              loss_config: LossConfig = LossConfig()
+              ) -> Dict[str, jnp.ndarray]:
+    """Loss-only eval step (the reference's 'test' phase,
+    `train_function.py:47-52`)."""
+    loc, conf, _ = _forward(state, state.params, batch, priors,
+                            rng=None, train=False)
+    loss = multibox_loss(loc, conf, batch["boxes"], batch["classes"],
+                         batch["mask"], priors, loss_config)
+    return {"loss": loss.total, "cls_loss": loss.cls, "loc_loss": loss.loc,
+            "num_pos": loss.num_pos.astype(jnp.float32)}
+
+
+def make_jitted_steps(priors: jnp.ndarray, loss_config: LossConfig,
+                      mesh: Optional[Mesh] = None, donate: bool = True):
+    """Compile train/eval steps, optionally with explicit mesh shardings.
+
+    With a mesh: batch arrays are sharded over the ``data`` axis, state is
+    replicated, and the compiled programs pin those shardings so XLA emits
+    the gradient all-reduce over ICI.
+    """
+    t_step = functools.partial(train_step, priors=priors,
+                               loss_config=loss_config)
+    e_step = functools.partial(eval_step, priors=priors,
+                               loss_config=loss_config)
+    if mesh is None:
+        return (jax.jit(t_step, donate_argnums=(0,) if donate else ()),
+                jax.jit(e_step))
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    jit_train = jax.jit(
+        t_step,
+        in_shardings=(repl, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+    jit_eval = jax.jit(e_step, in_shardings=(repl, data),
+                       out_shardings=repl)
+    return jit_train, jit_eval

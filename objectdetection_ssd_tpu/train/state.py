@@ -1,0 +1,117 @@
+"""Train state + optimizer: SGD with momentum, weight decay, 2x bias lr,
+step decay — the optax re-expression of the reference's setup.
+
+Reference semantics (`train.py:44-57`):
+  * params split into bias / non-bias by name; biases get 2x lr;
+  * SGD(lr=1e-4, momentum=0.9, weight_decay=5e-4) — torch applies weight
+    decay to the gradient BEFORE the momentum buffer, reproduced by the
+    add_decayed_weights -> trace ordering below;
+  * StepLR(step_size=7 epochs, gamma=0.1) — constructed but never stepped in
+    the reference (`train_function.py` has no scheduler.step()), so its
+    effective lr is constant.  We implement the schedule for real and expose
+    `use_lr_schedule=False` for training parity.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from objectdetection_ssd_tpu.config import OptimConfig
+
+
+class TrainState(struct.PyTreeNode):
+    """Minimal train state: params, optimizer state, mutable BN stats."""
+
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Callable = struct.field(pytree_node=False)
+    batch_stats: Any = None
+
+    def apply_gradients(self, grads: Any, **kw) -> "TrainState":
+        updates, new_opt_state = self.tx.update(grads, self.opt_state,
+                                                self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(step=self.step + 1, params=new_params,
+                            opt_state=new_opt_state, **kw)
+
+
+def is_bias_path(path) -> bool:
+    """True if a param tree path refers to a bias.
+
+    Mirrors the reference's `param_name.endswith('.bias')` test
+    (`train.py:46-51`): plain conv biases and BN biases qualify; kernels, BN
+    scales, and the conv4_3 L2-norm rescale do not.
+    """
+    last = path[-1]
+    key = getattr(last, "key", getattr(last, "name", str(last)))
+    return key == "bias"
+
+
+def _scale_bias_lr(multiplier: float) -> optax.GradientTransformation:
+    """Multiply bias-leaf updates by ``multiplier`` (2x lr for biases)."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        updates = jax.tree_util.tree_map_with_path(
+            lambda p, u: u * multiplier if is_bias_path(p) else u, updates)
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
+
+
+def step_decay_schedule(base_lr: float, gamma: float,
+                        steps_per_epoch: int, decay_epochs: int
+                        ) -> optax.Schedule:
+    """StepLR(step_size=decay_epochs, gamma) on an epoch clock."""
+
+    def schedule(count):
+        epoch = count // max(steps_per_epoch, 1)
+        return base_lr * gamma ** (epoch // decay_epochs)
+
+    return schedule
+
+
+def make_optimizer(config: OptimConfig,
+                   steps_per_epoch: int = 1) -> optax.GradientTransformation:
+    """The full SGD chain: wd -> momentum -> bias-lr scaling -> lr schedule."""
+    if config.use_lr_schedule:
+        sched = step_decay_schedule(config.lr, config.lr_decay_gamma,
+                                    steps_per_epoch, config.lr_decay_epochs)
+    else:
+        sched = lambda count: config.lr  # noqa: E731 — reference parity
+    return optax.chain(
+        optax.add_decayed_weights(config.weight_decay),
+        optax.trace(decay=config.momentum, nesterov=False),
+        _scale_bias_lr(config.bias_lr_multiplier),
+        optax.scale_by_schedule(lambda count: -sched(count)),
+    )
+
+
+def create_train_state(model, rng: jax.Array, sample_input: jnp.ndarray,
+                       optim_config: OptimConfig,
+                       steps_per_epoch: int = 1) -> TrainState:
+    """Initialize variables and build the optimizer."""
+    variables = model.init(rng, sample_input, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats")
+    tx = make_optimizer(optim_config, steps_per_epoch)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        batch_stats=batch_stats,
+        tx=tx,
+        apply_fn=model.apply,
+    )

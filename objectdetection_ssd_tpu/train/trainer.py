@@ -1,0 +1,114 @@
+"""High-level Trainer: epochs, train/eval phases, checkpointing, resume.
+
+The structured replacement for the reference's `train_model`
+(`train_function.py:12-134`): per epoch run a train phase and an eval
+('test') phase over the held-out split, track per-phase epoch losses,
+checkpoint every epoch, optionally resume.  Differences by design: metrics
+go through MetricsLogger instead of prints, checkpoints are orbax (async)
+at a configured path, lr schedule actually steps (see train/state.py), and
+periodic mAP evaluation is available as a callback.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from objectdetection_ssd_tpu.config import Config
+from objectdetection_ssd_tpu.data.pipeline import Loader, prefetch
+from objectdetection_ssd_tpu.models.ssd import build_model
+from objectdetection_ssd_tpu.ops import priors as priors_lib
+from objectdetection_ssd_tpu.parallel import mesh as mesh_lib
+from objectdetection_ssd_tpu.train import loop as loop_lib
+from objectdetection_ssd_tpu.train.checkpoint import CheckpointManager
+from objectdetection_ssd_tpu.train.state import TrainState, create_train_state
+from objectdetection_ssd_tpu.utils.metrics import (MetricsLogger, logger,
+                                                   setup_logging)
+
+
+class Trainer:
+    def __init__(self, config: Config, train_loader: Loader,
+                 eval_loader: Optional[Loader] = None,
+                 mesh=None,
+                 epoch_callback: Optional[Callable[[int, "Trainer"], None]]
+                 = None):
+        setup_logging()
+        self.config = config
+        self.train_loader = train_loader
+        self.eval_loader = eval_loader
+        self.mesh = mesh if mesh is not None else mesh_lib.create_mesh(
+            config.train.mesh_shape, config.train.mesh_axis_names)
+        self.epoch_callback = epoch_callback
+
+        self.model = build_model(config.model)
+        self.priors = jax.numpy.asarray(priors_lib.ssd300_priors(config.priors))
+        steps_per_epoch = max(len(train_loader), 1)
+        rng = jax.random.PRNGKey(config.train.seed)
+        sample = jax.numpy.zeros(
+            (1, config.model.image_size, config.model.image_size, 3),
+            jax.numpy.float32)
+        self.state: TrainState = create_train_state(
+            self.model, rng, sample, config.optim, steps_per_epoch)
+        self.state = mesh_lib.replicate(self.state, self.mesh)
+
+        self.train_step, self.eval_step = loop_lib.make_jitted_steps(
+            self.priors, config.loss, mesh=self.mesh,
+            donate=config.train.donate_state)
+        self.ckpt = CheckpointManager(
+            config.train.checkpoint_dir,
+            max_to_keep=config.train.max_checkpoints_to_keep)
+        self.start_epoch = 0
+        self.history: Dict[str, List[float]] = {"train": [], "test": []}
+
+    def maybe_resume(self) -> bool:
+        """Resume from the latest checkpoint if one exists
+        (reference `loadModel=True` path, `train_function.py:25-34`)."""
+        if self.ckpt.latest_epoch() is None:
+            return False
+        self.state, meta, epoch = self.ckpt.restore(self.state)
+        self.start_epoch = epoch + 1
+        self.history = meta.get("history", self.history)
+        logger.info("resumed from epoch %d", epoch)
+        return True
+
+    def _run_phase(self, epoch: int, train: bool) -> float:
+        loader = self.train_loader if train else self.eval_loader
+        phase = "train" if train else "test"
+        mlog = MetricsLogger(self.config.train.log_every_steps, prefix=phase)
+        epoch_loss = 0.0
+        n_images = 0
+        for batch in prefetch(loader.epoch(epoch)):
+            bs = batch["images"].shape[0]
+            batch = {k: v for k, v in batch.items() if k != "image_ids"}
+            batch = mesh_lib.shard_batch(batch, self.mesh)
+            if train:
+                self.state, metrics = self.train_step(self.state, batch)
+            else:
+                metrics = self.eval_step(self.state, batch)
+            mlog.update(metrics, bs)
+            epoch_loss += float(metrics["loss"]) * bs
+            n_images += bs
+        avg = epoch_loss / max(n_images, 1)
+        logger.info("epoch %d [%s] loss=%.4f", epoch, phase, avg)
+        return avg
+
+    def fit(self, num_epochs: Optional[int] = None) -> TrainState:
+        num_epochs = num_epochs or self.config.train.num_epochs
+        for epoch in range(self.start_epoch, num_epochs):
+            t0 = time.perf_counter()
+            self.history["train"].append(self._run_phase(epoch, train=True))
+            if self.eval_loader is not None:
+                self.history["test"].append(
+                    self._run_phase(epoch, train=False))
+            if (epoch + 1) % self.config.train.checkpoint_every_epochs == 0:
+                self.ckpt.save(epoch, self.state,
+                               metadata={"history": self.history})
+            if self.epoch_callback is not None:
+                self.epoch_callback(epoch, self)
+            logger.info("epoch %d done in %.1fs", epoch,
+                        time.perf_counter() - t0)
+        self.ckpt.wait()
+        return self.state

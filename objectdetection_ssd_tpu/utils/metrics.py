@@ -1,0 +1,117 @@
+"""Metrics, logging, and profiling utilities.
+
+The reference's observability is `print` statements with wall-clock deltas
+every 20 iterations (`train_function.py:99-103`) and nothing else
+(SURVEY.md §5).  Here: structured running averages, step-time/images-per-sec
+counters, and `jax.profiler` trace hooks.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import logging
+import time
+from typing import Any, Dict, Iterator, Optional
+
+import numpy as np
+
+logger = logging.getLogger("objectdetection_ssd_tpu")
+
+
+def setup_logging(level: int = logging.INFO) -> None:
+    if not logger.handlers:
+        handler = logging.StreamHandler()
+        handler.setFormatter(
+            logging.Formatter("%(asctime)s %(levelname)s %(message)s",
+                              "%H:%M:%S"))
+        logger.addHandler(handler)
+    logger.setLevel(level)
+
+
+class RunningAverage:
+    """Weighted running average (reference weights by batch size,
+    `train_function.py:98`)."""
+
+    def __init__(self):
+        self.total = 0.0
+        self.weight = 0.0
+
+    def update(self, value: float, weight: float = 1.0) -> None:
+        self.total += float(value) * weight
+        self.weight += weight
+
+    @property
+    def average(self) -> float:
+        return self.total / self.weight if self.weight else float("nan")
+
+
+class MetricsLogger:
+    """Accumulates per-step metric dicts; logs every ``log_every`` steps."""
+
+    def __init__(self, log_every: int = 20, prefix: str = "train"):
+        self.log_every = log_every
+        self.prefix = prefix
+        self.averages: Dict[str, RunningAverage] = {}
+        self._step = 0
+        self._t0 = time.perf_counter()
+        self._images = 0
+
+    def update(self, metrics: Dict[str, Any], batch_size: int) -> None:
+        for k, v in metrics.items():
+            self.averages.setdefault(k, RunningAverage()).update(
+                float(v), batch_size)
+        self._images += batch_size
+        self._step += 1
+        if self.log_every and self._step % self.log_every == 0:
+            dt = time.perf_counter() - self._t0
+            ips = self._images / dt if dt > 0 else 0.0
+            parts = " ".join(
+                f"{k}={a.average:.4f}" for k, a in self.averages.items())
+            logger.info("[%s] step=%d %s img/s=%.1f",
+                        self.prefix, self._step, parts, ips)
+
+    def summary(self) -> Dict[str, float]:
+        return {k: a.average for k, a in self.averages.items()}
+
+
+class Stopwatch:
+    """Step-time tracker with percentile report."""
+
+    def __init__(self):
+        self.times = []
+        self._t = None
+
+    def start(self):
+        self._t = time.perf_counter()
+
+    def stop(self):
+        self.times.append(time.perf_counter() - self._t)
+
+    def percentile(self, p: float) -> float:
+        return float(np.percentile(self.times, p)) if self.times else 0.0
+
+    @property
+    def mean(self) -> float:
+        return float(np.mean(self.times)) if self.times else 0.0
+
+
+@contextlib.contextmanager
+def profiler_trace(log_dir: Optional[str]) -> Iterator[None]:
+    """`jax.profiler` trace context; no-op when log_dir is None."""
+    if log_dir is None:
+        yield
+        return
+    import jax
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def write_history(path: str, history: Dict[str, Any]) -> None:
+    """Persist epoch-loss history as JSON (the reference keeps it inside the
+    torch checkpoint dict, `train_function.py:119`)."""
+    with open(path, "w") as f:
+        json.dump(history, f, indent=2)

@@ -1,0 +1,191 @@
+"""Training-stack tests: optimizer parity vs torch SGD, overfit-one-batch
+convergence, multi-device data-parallel sharding on the 8-CPU-device mesh,
+checkpoint save/restore."""
+
+import os
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from objectdetection_ssd_tpu.config import LossConfig, OptimConfig
+from objectdetection_ssd_tpu.parallel import mesh as mesh_lib
+from objectdetection_ssd_tpu.train import loop as loop_lib
+from objectdetection_ssd_tpu.train.state import (TrainState,
+                                                 create_train_state,
+                                                 make_optimizer)
+
+
+class TinySSD(nn.Module):
+    """Minimal SSD-shaped model: (B, 16, 16, 3) -> ((B, 16, 4), (B, 16, 21))."""
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = nn.Conv(8, (3, 3), strides=(4, 4), padding="SAME")(x)  # 4x4
+        x = nn.relu(x)
+        loc = nn.Conv(4, (3, 3), padding="SAME")(x)
+        conf = nn.Conv(21, (3, 3), padding="SAME")(x)
+        return loc.reshape(x.shape[0], -1, 4), conf.reshape(
+            x.shape[0], -1, 21)
+
+
+def _tiny_priors():
+    centers = (np.arange(4) + 0.5) / 4
+    cy, cx = np.meshgrid(centers, centers, indexing="ij")
+    pri = np.stack([cx.ravel(), cy.ravel(),
+                    np.full(16, 0.25), np.full(16, 0.25)], 1)
+    return jnp.asarray(pri, jnp.float32)
+
+
+def _tiny_batch(bs=8, seed=0):
+    rng = np.random.default_rng(seed)
+    imgs = rng.normal(0, 1, (bs, 16, 16, 3)).astype(np.float32)
+    boxes = np.zeros((bs, 2, 4), np.float32)
+    classes = np.zeros((bs, 2), np.int32)
+    mask = np.zeros((bs, 2), bool)
+    for i in range(bs):
+        lo = rng.uniform(0.05, 0.5, 2)
+        wh = rng.uniform(0.2, 0.4, 2)
+        boxes[i, 0] = [lo[0], lo[1], lo[0] + wh[0], lo[1] + wh[1]]
+        classes[i, 0] = rng.integers(0, 20)
+        mask[i, 0] = True
+    return {"images": jnp.asarray(imgs), "boxes": jnp.asarray(boxes),
+            "classes": jnp.asarray(classes), "mask": jnp.asarray(mask)}
+
+
+def test_optimizer_matches_torch_sgd():
+    """Bit-level parity with the reference's optimizer config
+    (`train.py:53-55`): SGD(lr, momentum=.9, wd=5e-4) with 2x lr on biases."""
+    import torch
+
+    rng = np.random.default_rng(0)
+    kernel = rng.normal(0, 0.1, (3, 3, 4, 8)).astype(np.float32)
+    bias = rng.normal(0, 0.1, (8,)).astype(np.float32)
+    params = {"conv": {"kernel": jnp.asarray(kernel),
+                       "bias": jnp.asarray(bias)}}
+
+    lr = 1e-2
+    cfg = OptimConfig(lr=lr, use_lr_schedule=False)
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+
+    t_kernel = torch.nn.Parameter(torch.tensor(kernel))
+    t_bias = torch.nn.Parameter(torch.tensor(bias))
+    t_opt = torch.optim.SGD(
+        [{"params": [t_bias], "lr": 2 * lr}, {"params": [t_kernel]}],
+        lr=lr, momentum=0.9, weight_decay=5e-4)
+
+    for step in range(4):
+        gk = rng.normal(0, 1, kernel.shape).astype(np.float32)
+        gb = rng.normal(0, 1, bias.shape).astype(np.float32)
+        grads = {"conv": {"kernel": jnp.asarray(gk), "bias": jnp.asarray(gb)}}
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+
+        t_opt.zero_grad()
+        t_kernel.grad = torch.tensor(gk)
+        t_bias.grad = torch.tensor(gb)
+        t_opt.step()
+
+        np.testing.assert_allclose(params["conv"]["kernel"],
+                                   t_kernel.detach().numpy(), atol=1e-6)
+        np.testing.assert_allclose(params["conv"]["bias"],
+                                   t_bias.detach().numpy(), atol=1e-6)
+
+
+def test_lr_schedule_step_decay():
+    cfg = OptimConfig(lr=1.0, lr_decay_epochs=7, lr_decay_gamma=0.1,
+                      use_lr_schedule=True)
+    from objectdetection_ssd_tpu.train.state import step_decay_schedule
+    sched = step_decay_schedule(1.0, 0.1, steps_per_epoch=10, decay_epochs=7)
+    assert sched(0) == 1.0
+    assert sched(69) == 1.0          # epoch 6
+    np.testing.assert_allclose(sched(70), 0.1)   # epoch 7
+    np.testing.assert_allclose(sched(140), 0.01)  # epoch 14
+
+
+def test_overfit_one_batch():
+    """The loss/optimizer stack must drive loss down on a fixed batch
+    (SURVEY.md §4 overfit-one-batch recommendation)."""
+    model = TinySSD()
+    priors = _tiny_priors()
+    batch = _tiny_batch()
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), batch["images"][:1],
+        OptimConfig(lr=0.05, use_lr_schedule=False), steps_per_epoch=1)
+    step_fn, _ = loop_lib.make_jitted_steps(priors, LossConfig(), mesh=None,
+                                            donate=False)
+    _, first = step_fn(state, batch)
+    for _ in range(60):
+        state, metrics = step_fn(state, batch)
+    assert float(metrics["loss"]) < 0.5 * float(first["loss"]), (
+        float(first["loss"]), float(metrics["loss"]))
+
+
+def test_data_parallel_step_matches_single_device():
+    """Same batch, same params: the 8-device data-parallel jitted step must
+    produce the same loss and updated params as the single-device step."""
+    assert len(jax.devices()) >= 8
+    model = TinySSD()
+    priors = _tiny_priors()
+    batch = _tiny_batch(bs=8)
+    state = create_train_state(
+        model, jax.random.PRNGKey(1), batch["images"][:1],
+        OptimConfig(lr=0.01, use_lr_schedule=False))
+
+    single_step, _ = loop_lib.make_jitted_steps(priors, LossConfig(),
+                                                mesh=None, donate=False)
+    s1, m1 = single_step(state, batch)
+
+    mesh = mesh_lib.create_mesh()
+    dp_step, dp_eval = loop_lib.make_jitted_steps(priors, LossConfig(),
+                                                  mesh=mesh, donate=False)
+    state_r = mesh_lib.replicate(state, mesh)
+    batch_s = mesh_lib.shard_batch(batch, mesh)
+    s2, m2 = dp_step(state_r, batch_s)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    k1 = s1.params["Conv_0"]["kernel"]
+    k2 = np.asarray(s2.params["Conv_0"]["kernel"])
+    np.testing.assert_allclose(k1, k2, atol=1e-6)
+
+    e2 = dp_eval(state_r, batch_s)
+    np.testing.assert_allclose(float(e2["loss"]), float(m1["loss"]),
+                               rtol=1e-4)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from objectdetection_ssd_tpu.train.checkpoint import CheckpointManager
+    model = TinySSD()
+    batch = _tiny_batch(bs=2)
+    state = create_train_state(
+        model, jax.random.PRNGKey(2), batch["images"][:1],
+        OptimConfig(use_lr_schedule=False))
+    state = state.replace(step=state.step + 5)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+    mgr.save(3, state, metadata={"history": {"train": [1.0, 0.5]}})
+    mgr.wait()
+    assert mgr.latest_epoch() == 3
+
+    fresh = create_train_state(
+        model, jax.random.PRNGKey(9), batch["images"][:1],
+        OptimConfig(use_lr_schedule=False))
+    restored, meta, epoch = mgr.restore(fresh)
+    assert epoch == 3
+    assert int(restored.step) == 5
+    assert meta["history"]["train"] == [1.0, 0.5]
+    np.testing.assert_allclose(restored.params["Conv_0"]["kernel"],
+                               state.params["Conv_0"]["kernel"])
+    mgr.close()
+
+
+def test_bias_lr_path_detection():
+    from objectdetection_ssd_tpu.train.state import is_bias_path
+    flat = jax.tree_util.tree_flatten_with_path(
+        {"conv": {"kernel": 1, "bias": 2}, "bn": {"scale": 3, "bias": 4}})[0]
+    got = {jax.tree_util.keystr(p): is_bias_path(p) for p, _ in flat}
+    assert got == {"['bn']['bias']": True, "['bn']['scale']": False,
+                   "['conv']['bias']": True, "['conv']['kernel']": False}
