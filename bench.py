@@ -1,12 +1,18 @@
 """Benchmark: SSD300 end-to-end inference throughput on one chip.
 
 Measures forward + decode + on-device NMS (the BASELINE.json headline
-config: "SSD300 images/sec/chip (fwd+decode+NMS)") in steady state and
-prints ONE JSON line:
+config: "SSD300 images/sec/chip (fwd+decode+NMS)") and prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N/2000}
 
 vs_baseline is relative to the 2000 img/s/chip north-star target (the
 reference publishes no throughput numbers at all — SURVEY.md §6).
+
+Methodology: each timed step consumes the previous step's output (a chained
+data dependency), and the clock stops only after a scalar host pull of the
+final result.  This is robust to async-dispatch runtimes where
+`block_until_ready` does not actually fence execution (observed on the axon
+TPU relay), and it matches steady-state serving where batches stream
+back-to-back.
 """
 
 import json
@@ -24,7 +30,7 @@ def main() -> int:
     from objectdetection_ssd_tpu.models.ssd import SSD300
     from objectdetection_ssd_tpu.ops import priors as priors_lib
 
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     on_tpu = jax.devices()[0].platform != "cpu"
     # bf16 activations keep the MXU at full rate; f32 on CPU for testing.
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
@@ -34,28 +40,31 @@ def main() -> int:
     pp_cfg = PostprocessConfig()
 
     rng = jax.random.PRNGKey(0)
-    images = jax.random.normal(rng, (batch_size, 300, 300, 3), jnp.float32)
+    images = jax.random.normal(rng, (batch_size, 300, 300, 3), dtype)
     params = jax.jit(model.init)(rng, images[:1])
 
     @jax.jit
-    def infer(params, images):
-        loc, conf = model.apply(params, images)
+    def step(x):
+        loc, conf = model.apply(params, x)
         dets = postprocess(loc.astype(jnp.float32),
                            conf.astype(jnp.float32), priors, pp_cfg)
-        return dets.boxes_xyxy, dets.scores, dets.classes, dets.valid
+        # Chain: perturb the next input with a scalar from the detections so
+        # consecutive steps cannot overlap or be elided.
+        s = jnp.sum(dets.scores) * 1e-9
+        return x * (1.0 + s.astype(dtype) * 1e-6)
 
-    # Warmup / compile.
-    jax.block_until_ready(infer(params, images))
+    # Warmup: compile + device attach, fenced by a real host pull.
+    x = step(images)
+    float(jnp.sum(x.astype(jnp.float32)))
 
     n_iters = 20 if on_tpu else 3
-    times = []
+    t0 = time.perf_counter()
     for _ in range(n_iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(infer(params, images))
-        times.append(time.perf_counter() - t0)
+        x = step(x)
+    float(jnp.sum(x.astype(jnp.float32)))      # fence
+    dt = (time.perf_counter() - t0) / n_iters
 
-    med = float(np.median(times))
-    ips = batch_size / med
+    ips = batch_size / dt
     print(json.dumps({
         "metric": "ssd300_infer_images_per_sec_per_chip",
         "value": round(ips, 1),

@@ -126,11 +126,6 @@ def postprocess(pred_offsets: jnp.ndarray, pred_logits: jnp.ndarray,
     Safe to wrap in `jax.jit` together with the model forward so that image
     -> final boxes never leaves the device (BASELINE.json north star).
     """
-    if config.use_pallas_nms:
-        from objectdetection_ssd_tpu.infer import nms_pallas
-        return nms_pallas.postprocess_pallas(
-            pred_offsets, pred_logits, priors_cxcywh, config)
-
     bs = pred_offsets.shape[0]
     k = config.per_class_top_k
     decoded = box_ops.cxcywh_to_xyxy(
@@ -144,9 +139,14 @@ def postprocess(pred_offsets: jnp.ndarray, pred_logits: jnp.ndarray,
         decoded[:, None], top_idx[..., None], axis=2)      # (B, 20, K, 4)
     valid = top_scores >= config.score_threshold
 
-    iou = box_ops.pairwise_iou(cand_boxes, cand_boxes)     # (B, 20, K, K)
-    keep = greedy_nms_mask(iou, valid, config.nms_iou_threshold,
-                           unrolled=config.nms_unrolled)
+    if config.use_pallas_nms:
+        from objectdetection_ssd_tpu.infer import nms_pallas
+        keep = nms_pallas.greedy_nms_keep(cand_boxes, valid,
+                                          config.nms_iou_threshold)
+    else:
+        iou = box_ops.pairwise_iou(cand_boxes, cand_boxes)  # (B, 20, K, K)
+        keep = greedy_nms_mask(iou, valid, config.nms_iou_threshold,
+                               unrolled=config.nms_unrolled)
 
     kept_scores = jnp.where(keep, top_scores, 0.0)         # (B, 20, K)
     flat_scores = kept_scores.reshape(bs, -1)              # (B, 20*K)
