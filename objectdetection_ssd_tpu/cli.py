@@ -78,8 +78,11 @@ def cmd_train(args) -> int:
     train_recs, val_recs = _load_split(cfg, args)
     train_loader = Loader(train_recs, cfg.data, cfg.model.image_size,
                           train=True, seed=cfg.train.seed)
+    # drop_last: the loss-eval phase shards batches over the mesh, so every
+    # batch must be full; mAP eval (evaluate_records) pads instead and
+    # covers every image.
     eval_loader = Loader(val_recs, cfg.data, cfg.model.image_size,
-                         train=False)
+                         train=False, drop_last=True)
     trainer = Trainer(cfg, train_loader, eval_loader)
     if args.resume:
         trainer.maybe_resume()

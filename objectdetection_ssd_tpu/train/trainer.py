@@ -34,7 +34,8 @@ class Trainer:
                  eval_loader: Optional[Loader] = None,
                  mesh=None,
                  epoch_callback: Optional[Callable[[int, "Trainer"], None]]
-                 = None):
+                 = None,
+                 model=None, priors=None):
         setup_logging()
         self.config = config
         self.train_loader = train_loader
@@ -43,8 +44,9 @@ class Trainer:
             config.train.mesh_shape, config.train.mesh_axis_names)
         self.epoch_callback = epoch_callback
 
-        self.model = build_model(config.model)
-        self.priors = jax.numpy.asarray(priors_lib.ssd300_priors(config.priors))
+        self.model = model if model is not None else build_model(config.model)
+        self.priors = (jax.numpy.asarray(priors) if priors is not None else
+                       jax.numpy.asarray(priors_lib.ssd300_priors(config.priors)))
         steps_per_epoch = max(len(train_loader), 1)
         rng = jax.random.PRNGKey(config.train.seed)
         sample = jax.numpy.zeros(

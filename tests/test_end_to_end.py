@@ -1,0 +1,124 @@
+"""Integration tests: synthetic VOC -> Trainer -> checkpoints -> resume, and
+the detector/eval path, exercising every layer together (SURVEY.md §4)."""
+
+import dataclasses
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from objectdetection_ssd_tpu.config import (Config, DataConfig, ModelConfig,
+                                            OptimConfig, PostprocessConfig,
+                                            TrainConfig)
+from objectdetection_ssd_tpu.data import synthetic, voc
+from objectdetection_ssd_tpu.data.pipeline import Loader
+from objectdetection_ssd_tpu.train.trainer import Trainer
+
+
+class TinyDet(nn.Module):
+    """Small conv detector with the SSD output contract, for fast CPU runs.
+    (The full SSD300 path is covered by model/convert/postprocess tests.)"""
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = nn.Conv(16, (5, 5), strides=(8, 8), padding="SAME")(x)  # 64->8
+        x = nn.relu(x)
+        x = nn.Conv(32, (3, 3), strides=(2, 2), padding="SAME")(x)  # 8->4
+        x = nn.relu(x)
+        loc = nn.Conv(4, (3, 3), padding="SAME")(x)
+        conf = nn.Conv(21, (3, 3), padding="SAME")(x)
+        return loc.reshape(x.shape[0], -1, 4), conf.reshape(
+            x.shape[0], -1, 21)
+
+
+def _tiny_priors():
+    centers = (np.arange(4) + 0.5) / 4
+    cy, cx = np.meshgrid(centers, centers, indexing="ij")
+    return np.stack([cx.ravel(), cy.ravel(),
+                     np.full(16, 0.3), np.full(16, 0.3)], 1).astype(
+                         np.float32)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("voc")
+    synthetic.generate_voc(str(root), num_2007=20, num_2012=4,
+                           image_size=(96, 96), seed=7)
+    records = voc.load_records(str(root), train=True)
+    cfg = Config(
+        model=ModelConfig(image_size=64),
+        data=DataConfig(voc_root=str(root), batch_size=8, num_workers=0,
+                        max_boxes=8),
+        optim=OptimConfig(lr=0.01, use_lr_schedule=False),
+        train=TrainConfig(num_epochs=2, seed=0,
+                          checkpoint_dir=str(
+                              tmp_path_factory.mktemp("ckpt")),
+                          log_every_steps=0),
+    )
+    return records, cfg
+
+
+def test_trainer_fit_eval_checkpoint_resume(tiny_setup):
+    records, cfg = tiny_setup
+    train_ids, val_ids = voc.train_val_split(len(records), 1 / 3, seed=10)
+    train_loader = Loader([records[i] for i in train_ids], cfg.data,
+                          cfg.model.image_size, train=True, seed=0)
+    eval_loader = Loader([records[i] for i in val_ids], cfg.data,
+                         cfg.model.image_size, train=False, drop_last=True)
+
+    trainer = Trainer(cfg, train_loader, eval_loader,
+                      model=TinyDet(), priors=_tiny_priors())
+    assert not trainer.maybe_resume()       # no checkpoint yet
+    state = trainer.fit()
+    assert int(state.step) == 2 * len(train_loader)
+    assert len(trainer.history["train"]) == 2
+    assert len(trainer.history["test"]) == 2
+    assert np.isfinite(trainer.history["train"]).all()
+    # loss should drop across epochs on this trivially small set
+    assert trainer.history["train"][1] < trainer.history["train"][0] * 1.5
+
+    # Resume continues from the saved epoch with history intact.
+    trainer2 = Trainer(cfg, train_loader, eval_loader,
+                       model=TinyDet(), priors=_tiny_priors())
+    assert trainer2.maybe_resume()
+    assert trainer2.start_epoch == 2
+    assert trainer2.history["train"] == trainer.history["train"]
+    state2 = trainer2.fit(num_epochs=3)     # one more epoch
+    assert int(state2.step) == 3 * len(train_loader)
+
+
+def test_evaluate_records_runs(tiny_setup):
+    records, cfg = tiny_setup
+    from objectdetection_ssd_tpu.eval.evaluate import evaluate_records
+    model = TinyDet()
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 64, 3)))["params"]
+
+    # Monkeypatch-free: evaluate via a Detector built around TinyDet by
+    # swapping the registry model through config is heavier than needed —
+    # instead check the evaluator contract through the public Detector path
+    # with the tiny model injected.
+    from objectdetection_ssd_tpu.infer import detector as detector_lib
+    det = detector_lib.Detector.__new__(detector_lib.Detector)
+    det.config = cfg
+    det.model = model
+    det.params = params
+    det.batch_stats = None
+    det.pp_config = dataclasses.replace(
+        cfg.postprocess, per_class_top_k=16, top_k=20)
+    det.priors = jnp.asarray(_tiny_priors())
+
+    def _infer(params, batch_stats, images):
+        from objectdetection_ssd_tpu.infer.postprocess import postprocess
+        loc, conf = model.apply({"params": params}, images, train=False)
+        return postprocess(loc, conf, det.priors, det.pp_config)
+
+    det._infer = jax.jit(_infer)
+    dets = det.detect_batch(jnp.zeros((2, 64, 64, 3)))
+    assert dets.boxes_xyxy.shape == (2, 20, 4)
+
+    results = det.detect_images([records[0].image_path])
+    assert set(results[0].keys()) == {"boxes_xyxy", "classes", "labels",
+                                      "scores"}
