@@ -130,11 +130,18 @@ def postprocess(pred_offsets: jnp.ndarray, pred_logits: jnp.ndarray,
     k = config.per_class_top_k
     decoded = box_ops.cxcywh_to_xyxy(
         box_ops.decode(pred_offsets, priors_cxcywh))       # (B, P, 4)
-    probs = jax.nn.softmax(pred_logits, axis=-1)           # (B, P, C)
 
-    # Per-class top-K candidate slots (fixed shape).  (B, 20, K)
-    cls_scores = jnp.swapaxes(probs[..., :NUM_CLASSES], 1, 2)
+    # Softmax scores, built directly in the class-major (B, 20, P) layout the
+    # top-k wants, in bf16: the (B, 20, P) tensor dominates postprocess HBM
+    # traffic, and 8 score bits are plenty for a 0.2 threshold + ranking
+    # (exact-mode f32 behind the flag).
+    logz = jax.nn.logsumexp(pred_logits.astype(jnp.float32), axis=-1)
+    score_dtype = (jnp.bfloat16 if config.use_approx_top_k else jnp.float32)
+    cls_scores = jnp.exp(
+        jnp.swapaxes(pred_logits, 1, 2)[:, :NUM_CLASSES].astype(jnp.float32)
+        - logz[:, None, :]).astype(score_dtype)            # (B, 20, P)
     top_scores, top_idx = _class_top_k(cls_scores, k, config)
+    top_scores = top_scores.astype(jnp.float32)
     cand_boxes = jnp.take_along_axis(
         decoded[:, None], top_idx[..., None], axis=2)      # (B, 20, K, 4)
     valid = top_scores >= config.score_threshold
