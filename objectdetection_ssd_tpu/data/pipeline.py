@@ -55,6 +55,18 @@ def normalize_image(img: np.ndarray) -> np.ndarray:
     return (img - mean) / std
 
 
+def preprocess_image(img: np.ndarray, size: int) -> np.ndarray:
+    """Fused resize+normalize: native C++ kernel when built (skips PIL's
+    uint8 quantization — strictly higher fidelity), PIL fallback otherwise."""
+    try:
+        from objectdetection_ssd_tpu import native
+        if native.available():
+            return native.resize_normalize(img, size)
+    except Exception:
+        pass
+    return normalize_image(resize_image(img, size))
+
+
 @dataclasses.dataclass
 class Example:
     image: np.ndarray        # (S, S, 3) float32, normalized
@@ -80,7 +92,7 @@ def prepare_example(record: ImageRecord, image_size: int,
     if len(boxes):
         boxes = boxes / np.asarray([w, h, w, h], np.float32)
         boxes = np.clip(boxes, 0.0, 1.0)
-    img = normalize_image(resize_image(img, image_size))
+    img = preprocess_image(img, image_size)
     return Example(img, boxes.reshape(-1, 4), classes.astype(np.int32),
                    rec.image_id)
 

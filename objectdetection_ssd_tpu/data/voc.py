@@ -102,15 +102,27 @@ def voc_file_lists(voc_root: str, train: bool = True
     return images, xmls
 
 
+def _best_parser():
+    """Prefer the native single-pass C++ parser (native.py) when built."""
+    try:
+        from objectdetection_ssd_tpu import native
+        if native.available():
+            return native.parse_voc_xml
+    except Exception:
+        pass
+    return parse_voc_xml
+
+
 def load_records(voc_root: str, train: bool = True,
                  num_workers: int = 0) -> List[ImageRecord]:
     """Parse all annotations into ImageRecords (parallel across processes)."""
     images, xmls = voc_file_lists(voc_root, train)
+    parser = _best_parser()
     if num_workers and len(xmls) > 64:
         with ProcessPoolExecutor(max_workers=num_workers) as pool:
-            parsed = list(pool.map(parse_voc_xml, xmls, chunksize=256))
+            parsed = list(pool.map(parser, xmls, chunksize=256))
     else:
-        parsed = [parse_voc_xml(x) for x in xmls]
+        parsed = [parser(x) for x in xmls]
     return [
         ImageRecord(img, b, c, d, image_id=i)
         for i, (img, (b, c, d)) in enumerate(zip(images, parsed))

@@ -47,8 +47,7 @@ def evaluate_records(config: Config, params: Any, records: List[ImageRecord],
             r = rec if keep_difficult else rec.without_difficult()
             raw = data_pipeline.load_image(r.image_path)
             h, w = raw.shape[:2]
-            imgs.append(data_pipeline.normalize_image(
-                data_pipeline.resize_image(raw, size)))
+            imgs.append(data_pipeline.preprocess_image(raw, size))
             norm = r.boxes_xyxy / np.asarray([w, h, w, h], np.float32)
             gt_boxes.append(norm.astype(np.float32))
             gt_classes.append(r.classes)

@@ -60,8 +60,7 @@ class Detector:
         for p in paths:
             raw = data_pipeline.load_image(p)
             sizes.append((raw.shape[1], raw.shape[0]))     # (w, h)
-            imgs.append(data_pipeline.normalize_image(
-                data_pipeline.resize_image(raw, size)))
+            imgs.append(data_pipeline.preprocess_image(raw, size))
         batch = jnp.asarray(np.stack(imgs))
         dets = self.detect_batch(batch)
         dets = scale_detections(dets, jnp.asarray(sizes, jnp.float32))
