@@ -30,7 +30,7 @@ def main() -> int:
     from objectdetection_ssd_tpu.models.ssd import SSD300
     from objectdetection_ssd_tpu.ops import priors as priors_lib
 
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     on_tpu = jax.devices()[0].platform != "cpu"
     # bf16 activations keep the MXU at full rate; f32 on CPU for testing.
     dtype = jnp.bfloat16 if on_tpu else jnp.float32

@@ -104,10 +104,12 @@ class PostprocessConfig:
     score_threshold: float = 0.2
     nms_iou_threshold: float = 0.45
     top_k: int = 200                   # global cap across classes
-    # Fixed-shape per-class candidate slots. 128 is TPU-lane aligned; with a
-    # trained model and threshold 0.2 per-class candidate counts are far
-    # below this, so truncation never bites in practice.
-    per_class_top_k: int = 128
+    # Fixed-shape per-class candidate slots (the NMS works on the top-K
+    # scores >= threshold per class).  With a trained model and threshold
+    # 0.2, per-class candidate counts are typically < 20, so 64 never binds
+    # in practice while keeping the K x K suppression cheap; raise for
+    # ultra-dense scenes or exact-parity studies.
+    per_class_top_k: int = 64
     # approx_max_k is the TPU-native top-k (per-lane binning); exact lax.top_k
     # behind the flag for bit-parity runs.
     use_approx_top_k: bool = True
