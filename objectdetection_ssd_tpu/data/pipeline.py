@@ -77,10 +77,20 @@ class Example:
 
 def prepare_example(record: ImageRecord, image_size: int,
                     train: bool, keep_difficult: bool,
-                    seed: Optional[int] = None) -> Example:
-    """Decode + (optionally) augment one record into a fixed-size example."""
+                    seed: Optional[int] = None,
+                    cache_path: Optional[str] = None,
+                    cache_index: int = -1) -> Example:
+    """Decode + (optionally) augment one record into a fixed-size example.
+
+    With ``cache_path`` set, pixels come from the packed decoded-image cache
+    (data/cache.py) instead of a per-epoch JPEG decode.
+    """
     rec = record if keep_difficult else record.without_difficult()
-    img = load_image(rec.image_path)
+    if cache_path is not None and cache_index >= 0:
+        from objectdetection_ssd_tpu.data import cache as cache_lib
+        img = cache_lib.get_image(cache_path, cache_index)
+    else:
+        img = load_image(rec.image_path)
     boxes = rec.boxes_xyxy.astype(np.float32)
     classes = rec.classes
     if train:
@@ -132,13 +142,19 @@ class Loader:
 
     def __init__(self, records: List[ImageRecord], config: DataConfig,
                  image_size: int = 300, train: bool = True,
-                 seed: int = 0, drop_last: Optional[bool] = None):
+                 seed: int = 0, drop_last: Optional[bool] = None,
+                 cache_path: Optional[str] = None):
         self.records = records
         self.config = config
         self.image_size = image_size
         self.train = train
         self.seed = seed
         self.drop_last = train if drop_last is None else drop_last
+        self.cache_path = cache_path
+        if cache_path is not None:
+            from objectdetection_ssd_tpu.data import cache as cache_lib
+            cache_lib.build([r.image_path for r in records], cache_path,
+                            num_workers=max(config.num_workers, 4))
         self._pool = None
         if config.num_workers > 0:
             self._pool = ProcessPoolExecutor(max_workers=config.num_workers)
@@ -159,7 +175,8 @@ class Loader:
             args = [
                 (self.records[i], self.image_size, self.train,
                  self.config.keep_difficult,
-                 int(rng.integers(0, 2**31)) if self.train else None)
+                 int(rng.integers(0, 2**31)) if self.train else None,
+                 self.cache_path, int(i))
                 for i in idx
             ]
             if self._pool is not None:

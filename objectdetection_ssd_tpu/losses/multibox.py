@@ -109,6 +109,24 @@ def multibox_loss(pred_offsets: jnp.ndarray,
                         num_pos=num_pos)
 
 
+def multibox_loss_single(pred_offsets: jnp.ndarray,
+                         pred_logits: jnp.ndarray,
+                         gt_boxes_xyxy: jnp.ndarray,
+                         gt_classes: jnp.ndarray,
+                         priors_cxcywh: jnp.ndarray,
+                         config: LossConfig = LossConfig()) -> MultiboxLoss:
+    """Single-image multibox loss (the reference's legacy per-image path,
+    `ssd1`/`ssd_old`, `Losses.py:100-117,201-225`).
+
+    Thin wrapper over the batched loss with a batch of one and a full
+    validity mask; identical math.  Inputs: (P, 4), (P, 21), (n, 4), (n,).
+    """
+    return multibox_loss(
+        pred_offsets[None], pred_logits[None], gt_boxes_xyxy[None],
+        gt_classes[None], jnp.ones((1, gt_boxes_xyxy.shape[0]), bool),
+        priors_cxcywh, config)
+
+
 def focal_loss(logits: jnp.ndarray, targets: jnp.ndarray,
                alpha: float = 0.25, gamma: float = 2.0) -> jnp.ndarray:
     """Sigmoid focal loss (reference `Focal_Loss`, `Losses.py:228-242`).

@@ -88,3 +88,23 @@ def pairwise_iou(a_xyxy: jnp.ndarray, b_xyxy: jnp.ndarray) -> jnp.ndarray:
     inter = pairwise_intersection(a_xyxy, b_xyxy)
     union = area(a_xyxy)[..., :, None] + area(b_xyxy)[..., None, :] - inter
     return inter / union
+
+
+def decode_tanh(pred: jnp.ndarray, priors_cxcywh: jnp.ndarray,
+                grid_sizes: jnp.ndarray) -> jnp.ndarray:
+    """fastai-style tanh-bounded activation -> box decode for the zoom/ratio
+    anchor variant (reference `get_p_bbox_labels_za`, `Util.py:409-424`):
+
+        xy = tanh(p)[..., :2] / 2 * grid_size + prior_xy
+        wh = (tanh(p)[..., 2:] / 2 + 1) * prior_wh
+
+    ``grid_sizes`` is the per-anchor cell-size vector produced alongside the
+    189 zoom/ratio priors (`ops.priors.zoom_ratio_priors`, `Util.py:18,161`).
+    Legacy decode kept for the ResNet-34 family's original head convention;
+    the standard `decode` (gcxgcy) path is the default for both models.
+    """
+    t = jnp.tanh(pred)
+    gs = grid_sizes[..., :, None]                            # (..., P, 1)
+    xy = t[..., :2] / 2.0 * gs + priors_cxcywh[..., :2]
+    wh = (t[..., 2:] / 2.0 + 1.0) * priors_cxcywh[..., 2:]
+    return jnp.concatenate([xy, wh], axis=-1)

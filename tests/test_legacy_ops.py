@@ -1,0 +1,69 @@
+"""Tests for the legacy/auxiliary parity ops: tanh-bounded decode
+(`Util.py:409-424`), per-image loss wrapper (`Losses.py:201-225`), focal
+loss (`Losses.py:228-242`)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from objectdetection_ssd_tpu.losses.multibox import (focal_loss,
+                                                     multibox_loss,
+                                                     multibox_loss_single)
+from objectdetection_ssd_tpu.ops import boxes, priors
+
+
+def test_decode_tanh_golden():
+    pri = jnp.asarray([[0.5, 0.5, 0.2, 0.2]])
+    gs = jnp.asarray([0.25])
+    pred = jnp.asarray([[0.3, -0.3, 0.0, 1.0]])
+    got = boxes.decode_tanh(pred, pri, gs)
+    t = np.tanh([0.3, -0.3, 0.0, 1.0])
+    want = [0.5 + t[0] / 2 * 0.25, 0.5 + t[1] / 2 * 0.25,
+            (t[2] / 2 + 1) * 0.2, (t[3] / 2 + 1) * 0.2]
+    np.testing.assert_allclose(np.asarray(got[0]), want, atol=1e-6)
+
+
+def test_decode_tanh_zoom_ratio_shapes():
+    pri, gs = priors.zoom_ratio_priors()
+    pred = jnp.zeros((2, 189, 4))
+    out = boxes.decode_tanh(pred, jnp.asarray(pri), jnp.asarray(gs))
+    assert out.shape == (2, 189, 4)
+    # zero activations -> centers at priors, wh = priors' wh
+    np.testing.assert_allclose(np.asarray(out[0, :, :2]), pri[:, :2],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[0, :, 2:]), pri[:, 2:],
+                               atol=1e-6)
+
+
+def test_single_image_loss_matches_batched():
+    rng = np.random.default_rng(0)
+    pri = priors.ssd300_priors()
+    P = pri.shape[0]
+    lo = rng.uniform(0.0, 0.6, (3, 2))
+    wh = rng.uniform(0.1, 0.39, (3, 2))
+    gt = np.concatenate([lo, lo + wh], 1).astype(np.float32)
+    cls = np.asarray([1, 5, 9], np.int32)
+    off = rng.normal(0, 1, (P, 4)).astype(np.float32)
+    logits = rng.normal(0, 1, (P, 21)).astype(np.float32)
+
+    single = multibox_loss_single(jnp.asarray(off), jnp.asarray(logits),
+                                  jnp.asarray(gt), jnp.asarray(cls),
+                                  jnp.asarray(pri))
+    batched = multibox_loss(jnp.asarray(off)[None], jnp.asarray(logits)[None],
+                            jnp.asarray(gt)[None], jnp.asarray(cls)[None],
+                            jnp.ones((1, 3), bool), jnp.asarray(pri))
+    np.testing.assert_allclose(float(single.total), float(batched.total))
+    assert int(single.num_pos) == int(batched.num_pos)
+
+
+def test_focal_loss_golden():
+    # alpha=.25, gamma=2 (Losses.py:238): w = (a*t + (1-a)*(1-t))*(1-pt)^2,
+    # loss = mean(w * BCE_with_logits).
+    logits = jnp.asarray([[2.0, -1.0]])
+    targets = jnp.asarray([[1.0, 0.0]])
+    p = 1 / (1 + np.exp(-np.asarray([2.0, -1.0])))
+    pt = np.asarray([p[0], 1 - p[1]])
+    w = np.asarray([0.25, 0.75]) * (1 - pt) ** 2
+    bce = -np.log(pt)
+    want = float(np.mean(w * bce))
+    np.testing.assert_allclose(float(focal_loss(logits, targets)), want,
+                               rtol=1e-5)
