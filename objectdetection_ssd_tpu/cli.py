@@ -77,7 +77,8 @@ def cmd_train(args) -> int:
             cfg.train, num_epochs=args.epochs))
     train_recs, val_recs = _load_split(cfg, args)
     train_loader = Loader(train_recs, cfg.data, cfg.model.image_size,
-                          train=True, seed=cfg.train.seed)
+                          train=True, seed=cfg.train.seed,
+                          cache_path=args.image_cache)
     # drop_last: the loss-eval phase shards batches over the mesh, so every
     # batch must be full; mAP eval (evaluate_records) pads instead and
     # covers every image.
@@ -154,6 +155,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     _common_flags(p_train)
     p_train.add_argument("--epochs", type=int, default=None)
     p_train.add_argument("--resume", action="store_true")
+    p_train.add_argument("--image-cache", default=None,
+                         help="path prefix for the packed decoded-image "
+                              "cache (JPEG-free epochs)")
     p_train.set_defaults(fn=cmd_train)
 
     p_eval = sub.add_parser("eval", help="evaluate mAP on the val split")
