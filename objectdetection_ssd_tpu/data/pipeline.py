@@ -18,7 +18,6 @@ Replaces the reference's torch DataLoader + ragged-list collate
 from __future__ import annotations
 
 import dataclasses
-import itertools
 import queue
 import threading
 from concurrent.futures import ProcessPoolExecutor

@@ -42,7 +42,7 @@ def evaluate_records(config: Config, params: Any, records: List[ImageRecord],
 
     for start in range(0, len(records), bs):
         chunk = records[start:start + bs]
-        imgs, metas = [], []
+        imgs = []
         for rec in chunk:
             r = rec if keep_difficult else rec.without_difficult()
             raw = data_pipeline.load_image(r.image_path)

@@ -27,6 +27,28 @@ from objectdetection_ssd_tpu.ops import priors as priors_lib
 class Detector:
     """Bundles model apply + postprocess into one compiled inference path."""
 
+    @classmethod
+    def from_checkpoint(cls, config: Config,
+                        checkpoint_dir: Optional[str] = None,
+                        **kw) -> "Detector":
+        """Build a Detector from the latest orbax checkpoint (falls back to
+        fresh random init when none exists — mirrors the CLI behavior)."""
+        import jax
+        from objectdetection_ssd_tpu.train.checkpoint import CheckpointManager
+        from objectdetection_ssd_tpu.train.state import create_train_state
+        model = build_model(config.model)
+        size = config.model.image_size
+        state = create_train_state(
+            model, jax.random.PRNGKey(config.train.seed),
+            jnp.zeros((1, size, size, 3)), config.optim)
+        try:
+            mgr = CheckpointManager(
+                checkpoint_dir or config.train.checkpoint_dir)
+            state, _, _ = mgr.restore(state)
+        except FileNotFoundError:
+            pass
+        return cls(config, state.params, state.batch_stats, **kw)
+
     def __init__(self, config: Config, params: Any,
                  batch_stats: Any = None,
                  postprocess_config: Optional[PostprocessConfig] = None):
