@@ -75,7 +75,7 @@ class Example:
 
 
 def prepare_example(record: ImageRecord, image_size: int,
-                    train: bool, keep_difficult: bool,
+                    augment_example: bool, keep_difficult: bool,
                     seed: Optional[int] = None,
                     cache_path: Optional[str] = None,
                     cache_index: int = -1) -> Example:
@@ -92,7 +92,7 @@ def prepare_example(record: ImageRecord, image_size: int,
         img = load_image(rec.image_path)
     boxes = rec.boxes_xyxy.astype(np.float32)
     classes = rec.classes
-    if train:
+    if augment_example:
         rng = np.random.default_rng(seed)
         img, boxes, classes = augment.train_transform(img, boxes, classes,
                                                       rng)
@@ -171,10 +171,11 @@ class Loader:
         n_batches = len(self)
         for bi in range(n_batches):
             idx = order[bi * b:(bi + 1) * b]
+            augment_now = self.train and self.config.augment
             args = [
-                (self.records[i], self.image_size, self.train,
+                (self.records[i], self.image_size, augment_now,
                  self.config.keep_difficult,
-                 int(rng.integers(0, 2**31)) if self.train else None,
+                 int(rng.integers(0, 2**31)) if augment_now else None,
                  self.cache_path, int(i))
                 for i in idx
             ]

@@ -93,7 +93,12 @@ class Trainer:
             mlog.update(metrics, bs)
             epoch_loss += float(metrics["loss"]) * bs
             n_images += bs
-        avg = epoch_loss / max(n_images, 1)
+        if n_images == 0:
+            logger.warning("epoch %d [%s] had no full batches "
+                           "(%d records < batch size?)", epoch, phase,
+                           len(loader.records))
+            return float("nan")
+        avg = epoch_loss / n_images
         logger.info("epoch %d [%s] loss=%.4f", epoch, phase, avg)
         return avg
 

@@ -26,6 +26,7 @@ def setup_logging(level: int = logging.INFO) -> None:
             logging.Formatter("%(asctime)s %(levelname)s %(message)s",
                               "%H:%M:%S"))
         logger.addHandler(handler)
+    logger.propagate = False  # avoid double lines via the root logger
     logger.setLevel(level)
 
 
