@@ -23,14 +23,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _fence(x) -> float:
+    return float(sum(jnp.sum(leaf.astype(jnp.float32))
+                     for leaf in jax.tree_util.tree_leaves(x)))
+
+
 def _timed(step, x0, iters):
     x = step(x0)
-    float(jnp.sum(x.astype(jnp.float32)))          # compile + attach fence
+    _fence(x)                                      # compile + attach fence
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         x = step(x)
-        float(jnp.sum(x.astype(jnp.float32)))      # per-call fence
+        _fence(x)                                  # per-call fence
         times.append(time.perf_counter() - t0)
     return (float(np.percentile(times, 50) * 1e3),
             float(np.percentile(times, 90) * 1e3))

@@ -76,6 +76,19 @@ def cmd_train(args) -> int:
         cfg = cfg.replace(train=dataclasses.replace(
             cfg.train, num_epochs=args.epochs))
     train_recs, val_recs = _load_split(cfg, args)
+
+    epoch_callback = None
+    if args.eval_map_every:
+        from objectdetection_ssd_tpu.eval.evaluate import evaluate_records
+
+        def epoch_callback(epoch, trainer):
+            if (epoch + 1) % args.eval_map_every:
+                return
+            params = trainer.state.params
+            stats = trainer.state.batch_stats
+            aps, mean_ap = evaluate_records(cfg, params, val_recs,
+                                            batch_stats=stats)
+            print(f"epoch {epoch}: val mAP = {mean_ap:.4f}")
     train_loader = Loader(train_recs, cfg.data, cfg.model.image_size,
                           train=True, seed=cfg.train.seed,
                           cache_path=args.image_cache)
@@ -84,7 +97,8 @@ def cmd_train(args) -> int:
     # covers every image.
     eval_loader = Loader(val_recs, cfg.data, cfg.model.image_size,
                          train=False, drop_last=True)
-    trainer = Trainer(cfg, train_loader, eval_loader)
+    trainer = Trainer(cfg, train_loader, eval_loader,
+                      epoch_callback=epoch_callback)
     if args.resume:
         trainer.maybe_resume()
     trainer.fit()
@@ -158,6 +172,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_train.add_argument("--image-cache", default=None,
                          help="path prefix for the packed decoded-image "
                               "cache (JPEG-free epochs)")
+    p_train.add_argument("--eval-map-every", type=int, default=0,
+                         help="run val mAP evaluation every N epochs "
+                              "(0 = off; the reference evaluates mAP "
+                              "out-of-band from notebooks)")
     p_train.set_defaults(fn=cmd_train)
 
     p_eval = sub.add_parser("eval", help="evaluate mAP on the val split")
