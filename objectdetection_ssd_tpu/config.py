@@ -114,6 +114,13 @@ class PostprocessConfig:
     # behind the flag for bit-parity runs.
     use_approx_top_k: bool = True
     approx_recall_target: float = 0.95
+    # Two-stage candidate selection: first keep the top-M anchors by
+    # max-foreground score, then rank per class among those M only.  Cuts
+    # the dominant (B, 20, P) top-k to (B, 20, M).  A candidate is lost only
+    # if >M anchors outscore its anchor's best class — never in practice at
+    # threshold 0.2.  0 disables; exact mode (use_approx_top_k=False) always
+    # ranks over all P anchors.
+    anchor_prefilter: int = 512
     # Unroll the greedy-suppression recurrence at trace time (no per-step XLA
     # while-loop overhead); the fori_loop variant is for very large K.
     nms_unrolled: bool = True

@@ -131,16 +131,37 @@ def postprocess(pred_offsets: jnp.ndarray, pred_logits: jnp.ndarray,
     decoded = box_ops.cxcywh_to_xyxy(
         box_ops.decode(pred_offsets, priors_cxcywh))       # (B, P, 4)
 
-    # Softmax scores, built directly in the class-major (B, 20, P) layout the
-    # top-k wants, in bf16: the (B, 20, P) tensor dominates postprocess HBM
-    # traffic, and 8 score bits are plenty for a 0.2 threshold + ranking
-    # (exact-mode f32 behind the flag).
     logz = jax.nn.logsumexp(pred_logits.astype(jnp.float32), axis=-1)
-    score_dtype = (jnp.bfloat16 if config.use_approx_top_k else jnp.float32)
-    cls_scores = jnp.exp(
-        jnp.swapaxes(pred_logits, 1, 2)[:, :NUM_CLASSES].astype(jnp.float32)
-        - logz[:, None, :]).astype(score_dtype)            # (B, 20, P)
-    top_scores, top_idx = _class_top_k(cls_scores, k, config)
+
+    m = config.anchor_prefilter
+    if config.use_approx_top_k and 0 < m < pred_logits.shape[1]:
+        # Two-stage selection: the (B, 20, P) per-class ranking dominates
+        # postprocess cost, but anchors that matter for ANY class are the
+        # ones whose best foreground logit is high — so first keep the top-M
+        # anchors by max-class score (one (B, P) top-k), then rank per class
+        # among those M.
+        max_fg = jnp.max(pred_logits[..., :NUM_CLASSES].astype(jnp.float32),
+                         axis=-1) - logz                   # (B, P) log-score
+        _, anchor_idx = jax.lax.approx_max_k(
+            max_fg, m, recall_target=config.approx_recall_target)
+        logits_m = jnp.take_along_axis(
+            pred_logits.astype(jnp.float32), anchor_idx[..., None], axis=1)
+        logz_m = jnp.take_along_axis(logz, anchor_idx, axis=1)
+        decoded = jnp.take_along_axis(decoded, anchor_idx[..., None], axis=1)
+        cls_scores = jnp.exp(
+            jnp.swapaxes(logits_m, 1, 2)[:, :NUM_CLASSES]
+            - logz_m[:, None, :])                          # (B, 20, M)
+        top_scores, top_idx = jax.lax.top_k(cls_scores, k)
+    else:
+        # Single-stage: softmax scores built directly in the class-major
+        # (B, 20, P) layout the top-k wants; bf16 halves the dominant HBM
+        # traffic in approx mode (exact mode stays f32).
+        score_dtype = (jnp.bfloat16 if config.use_approx_top_k
+                       else jnp.float32)
+        cls_scores = jnp.exp(
+            jnp.swapaxes(pred_logits, 1, 2)[:, :NUM_CLASSES]
+            .astype(jnp.float32) - logz[:, None, :]).astype(score_dtype)
+        top_scores, top_idx = _class_top_k(cls_scores, k, config)
     top_scores = top_scores.astype(jnp.float32)
     cand_boxes = jnp.take_along_axis(
         decoded[:, None], top_idx[..., None], axis=2)      # (B, 20, K, 4)

@@ -159,3 +159,48 @@ def test_scale_detections():
     out = scale_detections(dets, jnp.asarray([[200, 100]]))
     np.testing.assert_allclose(
         out.boxes_xyxy[0, 0], [20.0, 20.0, 100.0, 80.0], atol=1e-5)
+
+
+def test_anchor_prefilter_matches_full_path():
+    # With realistic sparsity (few confident anchors), the two-stage
+    # prefilter must select the identical detections.
+    from objectdetection_ssd_tpu.config import PostprocessConfig
+    import dataclasses
+    rng = np.random.default_rng(5)
+    P = 2048
+    lo = rng.uniform(0, 0.9, (P, 2)).astype(np.float32)
+    priors = np.concatenate([lo, np.full((P, 2), 0.05, np.float32)], 1)
+    offsets = np.zeros((2, P, 4), np.float32)
+    logits = np.zeros((2, P, 21), np.float32)
+    logits[..., 20] = 5.0                      # bg everywhere
+    conf_idx = rng.choice(P, 40, replace=False)
+    for b in range(2):
+        for i in conf_idx:
+            # distinct confidences: equal scores would make the kept-box
+            # selection legitimately order-dependent between the two paths
+            logits[b, i, rng.integers(0, 20)] = rng.uniform(7.0, 10.0)
+    base = PostprocessConfig(per_class_top_k=32, top_k=50,
+                             use_approx_top_k=True, anchor_prefilter=0)
+    pre = dataclasses.replace(base, anchor_prefilter=256)
+    d0 = postprocess(jnp.asarray(offsets), jnp.asarray(logits),
+                     jnp.asarray(priors), base)
+    d1 = postprocess(jnp.asarray(offsets), jnp.asarray(logits),
+                     jnp.asarray(priors), pre)
+    np.testing.assert_array_equal(np.asarray(d0.valid), np.asarray(d1.valid))
+
+    # The two paths round scores differently (bf16 single-stage vs f32
+    # prefilter), which permutes near-equal rows in the global sort —
+    # compare the detection SETS, order-independently.
+    def rows(d, i):
+        v = np.asarray(d.valid[i])
+        r = np.concatenate(
+            [np.asarray(d.classes[i])[v, None].astype(np.float32),
+             np.asarray(d.boxes_xyxy[i])[v],
+             np.asarray(d.scores[i])[v, None]], axis=1)
+        return r[np.lexsort(r.T[::-1])]
+
+    for i in range(2):
+        r0, r1 = rows(d0, i), rows(d1, i)
+        assert r0.shape == r1.shape
+        np.testing.assert_allclose(r0[:, :5], r1[:, :5], atol=1e-6)
+        np.testing.assert_allclose(r0[:, 5], r1[:, 5], atol=1e-2)
