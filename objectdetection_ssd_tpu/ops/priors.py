@@ -76,12 +76,17 @@ def ssd300_priors(config: PriorConfig | None = None) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def zoom_ratio_priors() -> Tuple[np.ndarray, np.ndarray]:
+def zoom_ratio_priors(reference_order: bool = True
+                      ) -> Tuple[np.ndarray, np.ndarray]:
     """189-prior zoom/ratio generator for the ResNet-34 variant.
 
-    Returns ``(priors, grid_sizes)`` where priors are (189, 4) in the
-    reference's swapped (y, x, w, h) column order (`Util.py:164`) and
-    grid_sizes is the per-anchor cell size vector (`Util.py:18,161`).
+    Returns ``(priors, grid_sizes)``: priors are (189, 4) and grid_sizes is
+    the per-anchor cell-size vector (`Util.py:18,161`).
+
+    ``reference_order=True`` reproduces the reference's swapped
+    (y, x, w, h) column order (`Util.py:164`) as consumed by its legacy tanh
+    decode path; ``False`` returns standard (cx, cy, w, h) suitable for this
+    framework's matcher/codec pipeline (use this to train `SSDResNet34`).
     """
     grids = (4, 2, 1)
     zooms = (0.75, 1.0, 1.3)
@@ -107,7 +112,8 @@ def zoom_ratio_priors() -> Tuple[np.ndarray, np.ndarray]:
 
     ancs = np.concatenate(
         [np.concatenate(ctrs, 0), np.concatenate(sizes, 0)], axis=1)
-    # Swap into the reference's (y, x, w, h) order (`Util.py:164`).
-    priors = np.stack(
-        [ancs[:, 1], ancs[:, 0], ancs[:, 2], ancs[:, 3]], axis=1)
-    return priors, np.concatenate(grid_sizes, 0)
+    if reference_order:
+        # Swap into the reference's (y, x, w, h) order (`Util.py:164`).
+        ancs = np.stack(
+            [ancs[:, 1], ancs[:, 0], ancs[:, 2], ancs[:, 3]], axis=1)
+    return ancs, np.concatenate(grid_sizes, 0)

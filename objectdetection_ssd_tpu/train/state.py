@@ -14,7 +14,7 @@ Reference semantics (`train.py:44-57`):
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable, Optional, Tuple
 
 import flax
 import jax
@@ -83,30 +83,69 @@ def step_decay_schedule(base_lr: float, gamma: float,
     return schedule
 
 
-def make_optimizer(config: OptimConfig,
-                   steps_per_epoch: int = 1) -> optax.GradientTransformation:
+def _zero_frozen(frozen_prefixes) -> optax.GradientTransformation:
+    """Zero updates for params under any of the given top-level subtrees.
+
+    Matches torch-SGD semantics for frozen backbones: params that never
+    receive a gradient (the reference wraps the ResNet trunk in
+    torch.no_grad(), `Model.py:81-86`) are skipped entirely — in particular
+    they must not be weight-decayed.
+    """
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+
+        def mask(path, u):
+            key = getattr(path[0], "key", getattr(path[0], "name", ""))
+            return jnp.zeros_like(u) if key in frozen_prefixes else u
+
+        return jax.tree_util.tree_map_with_path(mask, updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
+def make_optimizer(config: OptimConfig, steps_per_epoch: int = 1,
+                   frozen_prefixes: Tuple[str, ...] = ()
+                   ) -> optax.GradientTransformation:
     """The full SGD chain: wd -> momentum -> bias-lr scaling -> lr schedule."""
     if config.use_lr_schedule:
         sched = step_decay_schedule(config.lr, config.lr_decay_gamma,
                                     steps_per_epoch, config.lr_decay_epochs)
     else:
         sched = lambda count: config.lr  # noqa: E731 — reference parity
-    return optax.chain(
+    parts = [
         optax.add_decayed_weights(config.weight_decay),
         optax.trace(decay=config.momentum, nesterov=False),
         _scale_bias_lr(config.bias_lr_multiplier),
         optax.scale_by_schedule(lambda count: -sched(count)),
-    )
+    ]
+    if frozen_prefixes:
+        parts.append(_zero_frozen(tuple(frozen_prefixes)))
+    return optax.chain(*parts)
 
 
 def create_train_state(model, rng: jax.Array, sample_input: jnp.ndarray,
                        optim_config: OptimConfig,
-                       steps_per_epoch: int = 1) -> TrainState:
-    """Initialize variables and build the optimizer."""
+                       steps_per_epoch: int = 1,
+                       frozen_prefixes: Optional[Tuple[str, ...]] = None
+                       ) -> TrainState:
+    """Initialize variables and build the optimizer.
+
+    ``frozen_prefixes`` defaults to ("trunk",) when the model declares
+    ``freeze_backbone`` (the ResNet-34 variant, reference `Model.py:81-86`).
+    """
     variables = model.init(rng, sample_input, train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats")
-    tx = make_optimizer(optim_config, steps_per_epoch)
+    if frozen_prefixes is None:
+        frozen_prefixes = (("trunk",)
+                           if getattr(model, "freeze_backbone", False)
+                           else ())
+    tx = make_optimizer(optim_config, steps_per_epoch, frozen_prefixes)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
