@@ -102,20 +102,52 @@ class Trainer:
         logger.info("epoch %d [%s] loss=%.4f", epoch, phase, avg)
         return avg
 
-    def fit(self, num_epochs: Optional[int] = None) -> TrainState:
+    def fit(self, num_epochs: Optional[int] = None,
+            profile_dir: Optional[str] = None) -> TrainState:
+        """Run the epoch loop.
+
+        Failure recovery: any exception mid-epoch triggers a best-effort
+        emergency checkpoint at the last completed epoch before re-raising,
+        so a crashed run resumes with `maybe_resume()` (the reference's only
+        recovery is its per-epoch save, `train_function.py:114-120`).
+
+        ``profile_dir``: capture a `jax.profiler` trace of the first epoch.
+        """
+        from objectdetection_ssd_tpu.utils.metrics import profiler_trace
         num_epochs = num_epochs or self.config.train.num_epochs
-        for epoch in range(self.start_epoch, num_epochs):
-            t0 = time.perf_counter()
-            self.history["train"].append(self._run_phase(epoch, train=True))
-            if self.eval_loader is not None:
-                self.history["test"].append(
-                    self._run_phase(epoch, train=False))
-            if (epoch + 1) % self.config.train.checkpoint_every_epochs == 0:
-                self.ckpt.save(epoch, self.state,
-                               metadata={"history": self.history})
-            if self.epoch_callback is not None:
-                self.epoch_callback(epoch, self)
-            logger.info("epoch %d done in %.1fs", epoch,
-                        time.perf_counter() - t0)
+        epoch = self.start_epoch
+        try:
+            for epoch in range(self.start_epoch, num_epochs):
+                t0 = time.perf_counter()
+                with profiler_trace(
+                        profile_dir if epoch == self.start_epoch else None):
+                    self.history["train"].append(
+                        self._run_phase(epoch, train=True))
+                if self.eval_loader is not None:
+                    self.history["test"].append(
+                        self._run_phase(epoch, train=False))
+                if (epoch + 1) % self.config.train.checkpoint_every_epochs == 0:
+                    self.ckpt.save(epoch, self.state,
+                                   metadata={"history": self.history})
+                if self.epoch_callback is not None:
+                    self.epoch_callback(epoch, self)
+                logger.info("epoch %d done in %.1fs", epoch,
+                            time.perf_counter() - t0)
+        except Exception:
+            logger.exception(
+                "training failed at epoch %d; writing emergency checkpoint",
+                epoch)
+            try:
+                # Save the mid-epoch state under the failed epoch's index
+                # (never clobbers a completed epoch's checkpoint); resume
+                # continues from the next epoch.
+                if self.ckpt.latest_epoch() != epoch:
+                    self.ckpt.save(epoch, self.state,
+                                   metadata={"history": self.history,
+                                             "emergency": True})
+                    self.ckpt.wait()
+            except Exception:
+                logger.exception("emergency checkpoint failed")
+            raise
         self.ckpt.wait()
         return self.state

@@ -122,3 +122,30 @@ def test_evaluate_records_runs(tiny_setup):
     results = det.detect_images([records[0].image_path])
     assert set(results[0].keys()) == {"boxes_xyxy", "classes", "labels",
                                       "scores"}
+
+
+def test_emergency_checkpoint_on_failure(tiny_setup, tmp_path):
+    records, cfg = tiny_setup
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train,
+                                       checkpoint_dir=str(tmp_path / "ck")))
+    train_ids, _ = voc.train_val_split(len(records), 1 / 3, seed=10)
+    loader = Loader([records[i] for i in train_ids], cfg.data,
+                    cfg.model.image_size, train=True, seed=0)
+    trainer = Trainer(cfg, loader, None, model=TinyDet(),
+                      priors=_tiny_priors())
+
+    boom = RuntimeError("injected fault")
+
+    def fail_callback(epoch, tr):
+        if epoch == 0:
+            raise boom
+
+    trainer.epoch_callback = fail_callback
+    with pytest.raises(RuntimeError):
+        trainer.fit()
+    # the emergency checkpoint must exist and be resumable
+    trainer2 = Trainer(cfg, loader, None, model=TinyDet(),
+                       priors=_tiny_priors())
+    assert trainer2.maybe_resume()
+    assert trainer2.start_epoch >= 1
