@@ -31,6 +31,8 @@ def _common_flags(p: argparse.ArgumentParser):
     p.add_argument("--backbone", choices=["vgg16", "resnet34"], default=None)
     p.add_argument("--parity-split", action="store_true",
                    help="replicate the reference's with-replacement val split")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 activations (params stay f32)")
     p.add_argument("--synthetic", action="store_true",
                    help="generate a synthetic VOC fixture at --voc-root "
                         "(for smoke tests without the dataset)")
@@ -52,6 +54,9 @@ def build_config(args) -> config_lib.Config:
         image_size = 300 if args.backbone == "vgg16" else 224
         cfg = cfg.replace(model=dataclasses.replace(
             cfg.model, backbone=args.backbone, image_size=image_size))
+    if getattr(args, "bf16", False):
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, compute_dtype="bfloat16"))
     return cfg
 
 
@@ -101,7 +106,7 @@ def cmd_train(args) -> int:
                       epoch_callback=epoch_callback)
     if args.resume:
         trainer.maybe_resume()
-    trainer.fit()
+    trainer.fit(profile_dir=args.profile_dir)
     return 0
 
 
@@ -176,6 +181,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                          help="run val mAP evaluation every N epochs "
                               "(0 = off; the reference evaluates mAP "
                               "out-of-band from notebooks)")
+    p_train.add_argument("--profile-dir", default=None,
+                         help="capture a jax.profiler trace of the first "
+                              "epoch to this directory")
     p_train.set_defaults(fn=cmd_train)
 
     p_eval = sub.add_parser("eval", help="evaluate mAP on the val split")
