@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-import json
 import sys
 from typing import List, Optional
 
@@ -112,7 +111,6 @@ def cmd_train(args) -> int:
 
 def cmd_eval(args) -> int:
     from objectdetection_ssd_tpu.eval.evaluate import evaluate_records
-    from objectdetection_ssd_tpu.train import trainer as trainer_lib
     cfg = build_config(args)
     _, val_recs = _load_split(cfg, args)
     params, batch_stats = _restore_params(cfg)

@@ -28,7 +28,7 @@ The photometric ops implement torchvision's blend formulas
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

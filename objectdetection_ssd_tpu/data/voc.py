@@ -23,11 +23,11 @@ import dataclasses
 import os
 import xml.etree.ElementTree as ET
 from concurrent.futures import ProcessPoolExecutor
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 
-from objectdetection_ssd_tpu.config import CLASS_TO_ID, DataConfig
+from objectdetection_ssd_tpu.config import CLASS_TO_ID
 
 
 @dataclasses.dataclass

@@ -17,7 +17,6 @@ from objectdetection_ssd_tpu.data import pipeline as data_pipeline
 from objectdetection_ssd_tpu.data.voc import ImageRecord
 from objectdetection_ssd_tpu.eval.voc_map import voc_map
 from objectdetection_ssd_tpu.infer.detector import Detector
-from objectdetection_ssd_tpu.infer.postprocess import scale_detections
 
 
 def evaluate_records(config: Config, params: Any, records: List[ImageRecord],

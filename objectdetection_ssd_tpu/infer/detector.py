@@ -8,7 +8,7 @@ scores, valid) out — no per-class host loops, no `.cpu()` pulls mid-flight.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ the reference obtains from torchvision trunks:
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax

@@ -14,7 +14,7 @@ parity, and NHWC reshape matches torch's permute(0,2,3,1)+view flattening.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence, Tuple
+from typing import Any, Callable, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

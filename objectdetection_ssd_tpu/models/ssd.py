@@ -27,7 +27,7 @@ reference heads verbatim.
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Tuple
 
 import flax.linen as nn
 import jax

@@ -17,7 +17,7 @@ script runs unchanged from 1 chip to a full pod:
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 

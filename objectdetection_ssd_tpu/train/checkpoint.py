@@ -15,7 +15,6 @@ from __future__ import annotations
 import os
 from typing import Any, Dict, Optional, Tuple
 
-import jax
 import orbax.checkpoint as ocp
 
 from objectdetection_ssd_tpu.train.state import TrainState

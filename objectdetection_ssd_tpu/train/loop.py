@@ -12,14 +12,14 @@ sharded — SURVEY.md §5).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from objectdetection_ssd_tpu.config import Config, LossConfig
-from objectdetection_ssd_tpu.losses.multibox import MultiboxLoss, multibox_loss
+from objectdetection_ssd_tpu.config import LossConfig
+from objectdetection_ssd_tpu.losses.multibox import multibox_loss
 from objectdetection_ssd_tpu.train.state import TrainState
 
 

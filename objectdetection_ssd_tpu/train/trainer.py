@@ -15,7 +15,6 @@ import time
 from typing import Callable, Dict, List, Optional
 
 import jax
-import numpy as np
 
 from objectdetection_ssd_tpu.config import Config
 from objectdetection_ssd_tpu.data.pipeline import Loader, prefetch
