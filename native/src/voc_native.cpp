@@ -196,3 +196,338 @@ void resize_normalize(const float* src, int h, int w, float* dst, int out,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Full training augmentation pipeline in native code.
+//
+// Reproduces the reference's augmentation semantics (Util.py:566-607):
+//   photometric distortions (brightness/contrast/saturation/hue, each p=0.5,
+//   random order, factors U(0.5,1.5) / hue U(-18/255,18/255)), zoom-out
+//   expand up to 4x onto an ImageNet-mean canvas (p=0.5), SSD min-IoU random
+//   crop ({0,.1,.3,.5,.7,.9,skip} x 50 trials, scale U(0.3,1), AR (0.5,2),
+//   center-inside box filter, clipping), horizontal flip p=0.5 with the
+//   reference's x' = W - x - 1 column-swap math, then resize to the model
+//   input size + ImageNet normalization.
+//
+// Design: expand+crop compose into a single *virtual window* over the
+// original image (pixels outside the image are the ImageNet-mean filler), so
+// the up-to-4x canvas is never materialized; the final triangle-filter
+// resample reads straight from the source with bounds checks.  The RNG is
+// std::mt19937_64 (NOT numpy's stream) — augmentation randomness only needs
+// to be well-distributed and seed-deterministic, not bit-equal to Python.
+
+#include <random>
+
+namespace {
+
+struct Window {          // crop window in source-image coordinates
+  long x1, y1, x2, y2;   // may extend outside [0,w) x [0,h): filler region
+};
+
+// Triangle-filter resample of one axis over a virtual source line segment
+// [win_lo, win_lo + win_size) where indices outside [0, src_size) read the
+// filler color.  src layout: stride_axis between consecutive source pixels
+// along this axis, stride_other between lines.  dst is (other, out, ch)
+// C-order.
+void resample_axis_window(const float* src, long src_size, long other,
+                          long ch, long stride_axis, long stride_other,
+                          long win_lo, long win_size, const float* filler,
+                          bool filler_valid, float* dst, long out_size) {
+  double scale = static_cast<double>(win_size) / out_size;
+  double support = (scale >= 1.0) ? scale : 1.0;
+
+  std::vector<long> starts(out_size), sizes(out_size);
+  std::vector<std::vector<float>> weights(out_size);
+  for (long x = 0; x < out_size; ++x) {
+    double center = (x + 0.5) * scale;
+    long lo = static_cast<long>(std::max(center - support, 0.0));
+    long hi = static_cast<long>(
+        std::min(std::ceil(center + support), (double)win_size));
+    starts[x] = lo;
+    sizes[x] = hi - lo;
+    weights[x].resize(hi - lo);
+    double total = 0.0;
+    for (long i = 0; i < hi - lo; ++i) {
+      double d = (lo + i + 0.5 - center) / (support > 1.0 ? scale : 1.0);
+      double w = (d < 0 ? d + 1.0 : 1.0 - d);
+      if (w < 0) w = 0;
+      weights[x][i] = static_cast<float>(w);
+      total += w;
+    }
+    if (total > 0)
+      for (auto& w : weights[x]) w = static_cast<float>(w / total);
+  }
+
+#pragma omp parallel for schedule(static)
+  for (long y = 0; y < other; ++y) {
+    for (long x = 0; x < out_size; ++x) {
+      const float* wrow = weights[x].data();
+      long lo = starts[x], n = sizes[x];
+      for (long c = 0; c < ch; ++c) {
+        float acc = 0.0f;
+        for (long i = 0; i < n; ++i) {
+          long sx = win_lo + lo + i;  // virtual -> source index
+          float v;
+          if (sx >= 0 && sx < src_size) {
+            v = src[(size_t)y * stride_other + (size_t)sx * stride_axis + c];
+          } else {
+            v = filler_valid ? filler[c] : 0.0f;
+          }
+          acc += wrow[i] * v;
+        }
+        dst[((size_t)y * out_size + x) * ch + c] = acc;
+      }
+    }
+  }
+}
+
+float iou_1v1(const float* a, const float* b) {
+  float ix = std::min(a[2], b[2]) - std::max(a[0], b[0]);
+  float iy = std::min(a[3], b[3]) - std::max(a[1], b[1]);
+  if (ix <= 0 || iy <= 0) return 0.0f;
+  float inter = ix * iy;
+  float aa = (a[2] - a[0]) * (a[3] - a[1]);
+  float ab = (b[2] - b[0]) * (b[3] - b[1]);
+  return inter / (aa + ab - inter);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Full train-time augmentation of one example.
+//   img:    (h, w, 3) float32 RGB in [0, 1]
+//   boxes:  (n, 4) float32 absolute-pixel xyxy; labels: (n,) int32
+//   seed:   RNG seed (deterministic per example)
+//   out:    (out_size, out_size, 3) float32, ImageNet-normalized
+//   out_boxes: (n, 4) float32 xyxy normalized to [0, 1]
+//   mean3/std3: normalization constants; filler = mean3 (un-normalized)
+// Returns the number of surviving boxes (<= n), or -1 on error.
+int train_augment(const float* img, long h, long w, const float* boxes,
+                  const int* labels, int n, unsigned long long seed,
+                  long out_size, const float* mean3, const float* std3,
+                  float* out_img, float* out_boxes, int* out_labels) {
+  if (!img || h <= 0 || w <= 0 || out_size <= 0) return -1;
+  std::mt19937_64 rng(seed);
+  auto uniform = [&](double a, double b) {
+    return std::uniform_real_distribution<double>(a, b)(rng);
+  };
+  auto randint = [&](long a, long b) {  // inclusive [a, b]
+    return std::uniform_int_distribution<long>(a, b)(rng);
+  };
+
+  // ---- photometric distortions (Util.py:752-780) -------------------------
+  std::vector<float> buf(img, img + (size_t)h * w * 3);
+  int order[4] = {0, 1, 2, 3};
+  std::shuffle(order, order + 4, rng);
+  for (int oi = 0; oi < 4; ++oi) {
+    if (uniform(0.0, 1.0) >= 0.5) continue;
+    int op = order[oi];
+    if (op == 0) {                       // brightness
+      float f = (float)uniform(0.5, 1.5);
+#pragma omp parallel for schedule(static)
+      for (long i = 0; i < h * w * 3; ++i)
+        buf[i] = std::min(std::max(buf[i] * f, 0.0f), 1.0f);
+    } else if (op == 1) {                // contrast (blend with gray mean)
+      double sum = 0.0;
+#pragma omp parallel for reduction(+:sum) schedule(static)
+      for (long i = 0; i < h * w; ++i)
+        sum += 0.299 * buf[i * 3] + 0.587 * buf[i * 3 + 1] +
+               0.114 * buf[i * 3 + 2];
+      float m = (float)(sum / (h * w));
+      float f = (float)uniform(0.5, 1.5);
+#pragma omp parallel for schedule(static)
+      for (long i = 0; i < h * w * 3; ++i)
+        buf[i] = std::min(std::max(f * buf[i] + (1 - f) * m, 0.0f), 1.0f);
+    } else if (op == 2) {                // saturation (blend with gray)
+      float f = (float)uniform(0.5, 1.5);
+#pragma omp parallel for schedule(static)
+      for (long i = 0; i < h * w; ++i) {
+        float g = 0.299f * buf[i * 3] + 0.587f * buf[i * 3 + 1] +
+                  0.114f * buf[i * 3 + 2];
+        for (int c = 0; c < 3; ++c) {
+          float v = f * buf[i * 3 + c] + (1 - f) * g;
+          buf[i * 3 + c] = std::min(std::max(v, 0.0f), 1.0f);
+        }
+      }
+    } else {                             // hue shift (RGB->HSV->RGB)
+      float delta = (float)uniform(-18.0 / 255.0, 18.0 / 255.0);
+#pragma omp parallel for schedule(static)
+      for (long i = 0; i < h * w; ++i) {
+        float r = buf[i * 3], g = buf[i * 3 + 1], b = buf[i * 3 + 2];
+        float mx = std::max(r, std::max(g, b));
+        float mn = std::min(r, std::min(g, b));
+        float span = mx - mn;
+        float s = mx > 0 ? span / mx : 0.0f;
+        float hh = 0.0f;
+        if (span > 0) {
+          if (mx == r) hh = (g - b) / span;
+          else if (mx == g) hh = 2.0f + (b - r) / span;
+          else hh = 4.0f + (r - g) / span;
+        }
+        hh = hh / 6.0f;
+        hh -= std::floor(hh);
+        hh += delta;
+        hh -= std::floor(hh);
+        float v6 = hh * 6.0f;
+        int sector = (int)v6 % 6;
+        float f = v6 - std::floor(v6);
+        float p = mx * (1 - s), q = mx * (1 - s * f),
+              t = mx * (1 - s * (1 - f));
+        float rr, gg, bb;
+        switch (sector) {
+          case 0: rr = mx; gg = t; bb = p; break;
+          case 1: rr = q; gg = mx; bb = p; break;
+          case 2: rr = p; gg = mx; bb = t; break;
+          case 3: rr = p; gg = q; bb = mx; break;
+          case 4: rr = t; gg = p; bb = mx; break;
+          default: rr = mx; gg = p; bb = q; break;
+        }
+        buf[i * 3] = rr; buf[i * 3 + 1] = gg; buf[i * 3 + 2] = bb;
+      }
+    }
+  }
+
+  // Working box set (source-pixel coords; virtual-canvas offset applied via
+  // the crop window instead of moving boxes).
+  std::vector<float> wb(boxes, boxes + (size_t)n * 4);
+  std::vector<int> wl(labels, labels + n);
+
+  // ---- expand (virtual canvas; Util.py:610-645), p = 0.5 -----------------
+  // canvas size (ch_, cw_); image placed at (left, top).  Instead of
+  // shifting boxes, remember the canvas->source offset.
+  long cw_ = w, ch_ = h, left = 0, top = 0;
+  if (uniform(0.0, 1.0) < 0.5) {
+    double scale = uniform(1.0, 4.0);
+    ch_ = (long)(scale * h);
+    cw_ = (long)(scale * w);
+    left = randint(0, cw_ - w);
+    top = randint(0, ch_ - h);
+  }
+
+  // ---- random crop in canvas coords (Util.py:648-729) --------------------
+  static const double kOverlaps[7] = {0.0, 0.1, 0.3, 0.5, 0.7, 0.9, -1.0};
+  Window win{0, 0, cw_, ch_};   // default: whole canvas
+  bool done = false;
+  while (!done) {
+    double min_overlap = kOverlaps[randint(0, 6)];
+    if (min_overlap < 0) break;                  // no cropping
+    for (int trial = 0; trial < 50 && !done; ++trial) {
+      double sh_ = uniform(0.3, 1.0), sw_ = uniform(0.3, 1.0);
+      long nh = (long)(sh_ * ch_), nw = (long)(sw_ * cw_);
+      if (nw <= 0 || nh <= 0) continue;
+      double ar = (double)nh / nw;
+      if (!(0.5 < ar && ar < 2.0)) continue;
+      long cl = randint(0, cw_ - nw), ct = randint(0, ch_ - nh);
+      float crop[4] = {(float)(cl - left), (float)(ct - top),
+                       (float)(cl - left + nw), (float)(ct - top + nh)};
+      if (n > 0) {
+        float best = 0.0f;
+        for (int i = 0; i < n; ++i)
+          best = std::max(best, iou_1v1(crop, &wb[i * 4]));
+        if (best < min_overlap) continue;
+        // keep boxes whose centers lie inside the crop
+        std::vector<float> kb; std::vector<int> kl;
+        for (int i = 0; i < (int)wl.size(); ++i) {
+          float cx = (wb[i * 4] + wb[i * 4 + 2]) / 2;
+          float cy = (wb[i * 4 + 1] + wb[i * 4 + 3]) / 2;
+          if (cx > crop[0] && cx < crop[2] && cy > crop[1] && cy < crop[3]) {
+            kb.push_back(std::max(wb[i * 4], crop[0]) - crop[0]);
+            kb.push_back(std::max(wb[i * 4 + 1], crop[1]) - crop[1]);
+            kb.push_back(std::min(wb[i * 4 + 2], crop[2]) - crop[0]);
+            kb.push_back(std::min(wb[i * 4 + 3], crop[3]) - crop[1]);
+            kl.push_back(wl[i]);
+          }
+        }
+        if (kl.empty()) continue;
+        wb = kb; wl = kl;
+      }
+      win = Window{cl - left, ct - top, cl - left + nw, ct - top + nh};
+      done = true;
+    }
+    // after the crop, box coords are window-relative
+    if (done) { left = 0; top = 0; }
+  }
+  if (!done && (left != 0 || top != 0)) {
+    // expand happened but crop chose "no cropping": window = whole canvas,
+    // boxes shift by the placement offset.
+    win = Window{-left, -top, cw_ - left, ch_ - top};
+    for (size_t i = 0; i < wb.size(); i += 4) { /* boxes stay source-rel */ }
+    // make boxes window-relative: + (left, top)
+    for (size_t i = 0; i < wl.size(); ++i) {
+      wb[i * 4] += left; wb[i * 4 + 1] += top;
+      wb[i * 4 + 2] += left; wb[i * 4 + 3] += top;
+    }
+  }
+
+  long win_w = win.x2 - win.x1, win_h = win.y2 - win.y1;
+
+  // ---- horizontal flip, p = 0.5 (Util.py:732-748) ------------------------
+  bool flip = uniform(0.0, 1.0) < 0.5;
+  if (flip) {
+    for (size_t i = 0; i < wl.size(); ++i) {
+      float x1 = wb[i * 4], x2 = wb[i * 4 + 2];
+      wb[i * 4] = win_w - x2 - 1;
+      wb[i * 4 + 2] = win_w - x1 - 1;
+    }
+  }
+
+  // ---- resample window -> out_size, + normalize --------------------------
+  // Horizontal pass over the window: (h_src rows restricted to window rows
+  // are handled in the vertical pass; horizontally we resample full source
+  // rows within the window's row range).  Simpler: first horizontal over
+  // all rows the vertical pass will touch.  To keep it simple and correct,
+  // materialize the window's horizontal resample for the row range
+  // [win.y1, win.y2) clipped to source, with filler rows handled in the
+  // vertical pass via bounds checks.
+  std::vector<float> tmp((size_t)win_h * out_size * 3);
+  // Virtual rows: r in [0, win_h); source row = win.y1 + r.
+#pragma omp parallel for schedule(static)
+  for (long r = 0; r < win_h; ++r) {
+    long sy = win.y1 + r;
+    if (sy < 0 || sy >= h) {
+      for (long x = 0; x < out_size; ++x)
+        for (int c = 0; c < 3; ++c)
+          tmp[((size_t)r * out_size + x) * 3 + c] = mean3[c];
+      continue;
+    }
+    resample_axis_window(buf.data() + (size_t)sy * w * 3, w, 1, 3, 3, 0,
+                         win.x1, win_w, mean3, true,
+                         tmp.data() + (size_t)r * out_size * 3, out_size);
+  }
+  // Vertical pass: virtual size win_h -> out_size over tmp (fully valid).
+  std::vector<float> tmp2((size_t)out_size * out_size * 3);
+  resample_axis_window(tmp.data(), win_h, out_size, 3,
+                       /*stride_axis=*/out_size * 3, /*stride_other=*/3,
+                       0, win_h, mean3, true, tmp2.data(), out_size);
+  // tmp2 is (x, y) major (vertical pass walked columns as "other");
+  // transpose + optional flip + normalize.
+#pragma omp parallel for schedule(static)
+  for (long y = 0; y < out_size; ++y) {
+    for (long x = 0; x < out_size; ++x) {
+      long sx = flip ? (out_size - 1 - x) : x;
+      for (int c = 0; c < 3; ++c) {
+        float v = tmp2[((size_t)sx * out_size + y) * 3 + c];
+        out_img[((size_t)y * out_size + x) * 3 + c] =
+            (v - mean3[c]) / std3[c];
+      }
+    }
+  }
+
+  // ---- boxes: clip to window, normalize ----------------------------------
+  int n_out = (int)wl.size();
+  for (int i = 0; i < n_out; ++i) {
+    float x1 = std::min(std::max(wb[i * 4], 0.0f), (float)win_w);
+    float y1 = std::min(std::max(wb[i * 4 + 1], 0.0f), (float)win_h);
+    float x2 = std::min(std::max(wb[i * 4 + 2], 0.0f), (float)win_w);
+    float y2 = std::min(std::max(wb[i * 4 + 3], 0.0f), (float)win_h);
+    out_boxes[i * 4] = x1 / win_w;
+    out_boxes[i * 4 + 1] = y1 / win_h;
+    out_boxes[i * 4 + 2] = x2 / win_w;
+    out_boxes[i * 4 + 3] = y2 / win_h;
+    out_labels[i] = wl[i];
+  }
+  return n_out;
+}
+
+}  // extern "C"

@@ -143,6 +143,10 @@ class DataConfig:
     # byte-exact split parity.
     parity_split: bool = False
     augment: bool = True
+    # Use the native C++ augmentation pipeline (native/src/voc_native.cpp)
+    # when built: ~10x faster per image than the numpy path, same transform
+    # semantics, different (still deterministic) random stream.
+    use_native_augment: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -78,11 +78,14 @@ def prepare_example(record: ImageRecord, image_size: int,
                     augment_example: bool, keep_difficult: bool,
                     seed: Optional[int] = None,
                     cache_path: Optional[str] = None,
-                    cache_index: int = -1) -> Example:
+                    cache_index: int = -1,
+                    use_native_augment: bool = True) -> Example:
     """Decode + (optionally) augment one record into a fixed-size example.
 
     With ``cache_path`` set, pixels come from the packed decoded-image cache
-    (data/cache.py) instead of a per-epoch JPEG decode.
+    (data/cache.py) instead of a per-epoch JPEG decode.  Augmentation runs
+    in the native C++ pipeline when built (one fused call including resize +
+    normalize), numpy otherwise.
     """
     rec = record if keep_difficult else record.without_difficult()
     if cache_path is not None and cache_index >= 0:
@@ -92,6 +95,16 @@ def prepare_example(record: ImageRecord, image_size: int,
         img = load_image(rec.image_path)
     boxes = rec.boxes_xyxy.astype(np.float32)
     classes = rec.classes
+    if augment_example and use_native_augment:
+        try:
+            from objectdetection_ssd_tpu import native
+            if native.available():
+                out_img, out_boxes, out_labels = native.train_augment(
+                    img, boxes, classes, seed or 0, image_size)
+                return Example(out_img, out_boxes,
+                               out_labels.astype(np.int32), rec.image_id)
+        except Exception:
+            pass  # fall through to the numpy pipeline
     if augment_example:
         rng = np.random.default_rng(seed)
         img, boxes, classes = augment.train_transform(img, boxes, classes,
@@ -176,7 +189,8 @@ class Loader:
                 (self.records[i], self.image_size, augment_now,
                  self.config.keep_difficult,
                  int(rng.integers(0, 2**31)) if augment_now else None,
-                 self.cache_path, int(i))
+                 self.cache_path, int(i),
+                 self.config.use_native_augment)
                 for i in idx
             ]
             if self._pool is not None:

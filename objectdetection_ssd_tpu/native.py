@@ -35,8 +35,8 @@ _tried = False
 
 def _build() -> bool:
     os.makedirs(_BUILD_DIR, exist_ok=True)
-    cmd = ["g++", "-O3", "-fPIC", "-shared", "-fopenmp", "-std=c++17",
-           "-o", _LIB_PATH, _SRC]
+    cmd = ["g++", "-O3", "-march=native", "-ffast-math", "-fPIC",
+           "-shared", "-fopenmp", "-std=c++17", "-o", _LIB_PATH, _SRC]
     try:
         res = subprocess.run(cmd, capture_output=True, timeout=120)
         return res.returncode == 0 and os.path.exists(_LIB_PATH)
@@ -70,6 +70,14 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)]
+        lib.train_augment.restype = ctypes.c_int
+        lib.train_augment.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.c_ulonglong, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int)]
         _lib = lib
         return _lib
 
@@ -102,6 +110,49 @@ def parse_voc_xml(xml_path: str, max_objects: int = 256
     if n < 0:
         raise ValueError(f"malformed VOC XML: {xml_path}")
     return boxes[:n].copy(), classes[:n].copy(), difficult[:n].astype(bool)
+
+
+def train_augment(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
+                  seed: int, out_size: int
+                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full native training augmentation + resize + normalize of one example.
+
+    Same pipeline as `data.augment.train_transform` followed by
+    preprocess (reference `Util.py:566-607` + `Dataset.py:10-13,35-36`), in
+    one C++ call: photometric distortions, virtual expand/min-IoU-crop
+    window (no canvas materialization), flip, triangle resample, ImageNet
+    normalization, box filtering/clipping/normalization.  RNG is C++
+    mt19937_64 seeded with ``seed`` (deterministic, but a different stream
+    than the numpy fallback).
+
+    Returns (image (S, S, 3) normalized f32, boxes (n', 4) xyxy in [0, 1],
+    labels (n',) int32).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    img = np.ascontiguousarray(img, np.float32)
+    boxes = np.ascontiguousarray(boxes.reshape(-1, 4), np.float32)
+    labels_in = np.ascontiguousarray(labels, np.int32)
+    n = len(labels_in)
+    h, w = img.shape[:2]
+    out_img = np.empty((out_size, out_size, 3), np.float32)
+    out_boxes = np.zeros((max(n, 1), 4), np.float32)
+    out_labels = np.zeros((max(n, 1),), np.int32)
+    mean = np.asarray(IMAGENET_MEAN, np.float32)
+    std = np.asarray(IMAGENET_STD, np.float32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int)
+    n_out = lib.train_augment(
+        img.ctypes.data_as(fp), h, w,
+        boxes.ctypes.data_as(fp), labels_in.ctypes.data_as(ip), n,
+        ctypes.c_ulonglong(seed & (2**64 - 1)), out_size,
+        mean.ctypes.data_as(fp), std.ctypes.data_as(fp),
+        out_img.ctypes.data_as(fp), out_boxes.ctypes.data_as(fp),
+        out_labels.ctypes.data_as(ip))
+    if n_out < 0:
+        raise ValueError("native train_augment failed")
+    return out_img, out_boxes[:n_out].copy(), out_labels[:n_out].copy()
 
 
 def resize_normalize(img: np.ndarray, size: int) -> np.ndarray:

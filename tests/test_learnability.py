@@ -92,7 +92,7 @@ def test_detector_learns_synthetic_task(tmp_path):
     model = SmallDet()
     state = create_train_state(
         model, jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 3)),
-        OptimConfig(lr=0.02, use_lr_schedule=False))
+        OptimConfig(lr=0.01, use_lr_schedule=False))
     loss_cfg = LossConfig(match_iou_threshold=0.4)
     step_fn, _ = loop_lib.make_jitted_steps(priors, loss_cfg, mesh=None,
                                             donate=False)

@@ -59,3 +59,48 @@ def test_native_resize_upscale_and_downscale():
         out = native.resize_normalize(img, 300)
         assert out.shape == (300, 300, 3)
         assert np.isfinite(out).all()
+
+
+def test_native_train_augment_invariants(voc_root):
+    from objectdetection_ssd_tpu.data import voc as voc_lib
+    records = voc_lib.load_records(voc_root, train=True)
+    rec = records[0].without_difficult()
+    img = pipeline.load_image(rec.image_path)
+    for seed in range(20):
+        out_img, out_boxes, out_labels = native.train_augment(
+            img, rec.boxes_xyxy, rec.classes, seed, 300)
+        assert out_img.shape == (300, 300, 3)
+        assert np.isfinite(out_img).all()
+        # ImageNet-normalized range
+        assert out_img.min() >= -3.0 and out_img.max() <= 3.5
+        assert len(out_boxes) == len(out_labels) <= len(rec.classes)
+        if len(out_boxes):
+            assert out_boxes.min() >= 0.0 and out_boxes.max() <= 1.0
+            assert (out_boxes[:, 2:] >= out_boxes[:, :2] - 1e-5).all()
+            assert set(out_labels.tolist()) <= set(rec.classes.tolist())
+
+
+def test_native_train_augment_deterministic(voc_root):
+    from objectdetection_ssd_tpu.data import voc as voc_lib
+    rec = voc_lib.load_records(voc_root, train=True)[1].without_difficult()
+    img = pipeline.load_image(rec.image_path)
+    a = native.train_augment(img, rec.boxes_xyxy, rec.classes, 7, 300)
+    b = native.train_augment(img, rec.boxes_xyxy, rec.classes, 7, 300)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+    c = native.train_augment(img, rec.boxes_xyxy, rec.classes, 8, 300)
+    assert not np.array_equal(a[0], c[0])
+
+
+def test_native_train_augment_identity_stats(voc_root):
+    # Across many seeds, some draws skip every random op except resize; the
+    # output should then match the plain preprocess. Check a weaker but
+    # robust property: the mean over seeds of the augmented image mean is
+    # within a reasonable band of the un-augmented mean.
+    from objectdetection_ssd_tpu.data import voc as voc_lib
+    rec = voc_lib.load_records(voc_root, train=True)[2].without_difficult()
+    img = pipeline.load_image(rec.image_path)
+    plain = pipeline.preprocess_image(img, 300)
+    means = [native.train_augment(img, rec.boxes_xyxy, rec.classes, s,
+                                  300)[0].mean() for s in range(24)]
+    assert abs(np.mean(means) - plain.mean()) < 1.0
