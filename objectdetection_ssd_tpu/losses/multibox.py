@@ -77,8 +77,16 @@ def multibox_loss(pred_offsets: jnp.ndarray,
     pos_f = pos.astype(pred_offsets.dtype)
 
     # ---- localization (`Losses.py:181-182`) -------------------------------
+    # Negative priors' matched boxes can be degenerate zero-area pads (e.g.
+    # an image whose objects were all filtered out), where encode's log()
+    # would produce inf and inf * 0-mask = NaN.  Substitute the prior itself
+    # (zero offsets) wherever the prior is background — those rows never
+    # contribute to the masked sum.
+    matched_cxcywh = jnp.where(
+        pos[..., None], box_ops.xyxy_to_cxcywh(match.matched_box),
+        priors_cxcywh[None])
     target_offsets = box_ops.encode(
-        box_ops.xyxy_to_cxcywh(match.matched_box), priors_cxcywh[None],
+        matched_cxcywh, priors_cxcywh[None],
         center_variance_inv=config.center_variance_inv,
         size_variance_inv=config.size_variance_inv)        # (B, P, 4)
     diff = pred_offsets - target_offsets
