@@ -153,3 +153,15 @@ def test_loader_eval_deterministic(voc_root):
 def test_prefetch_preserves_order():
     items = list(range(20))
     assert list(pipeline.prefetch(iter(items), size=3)) == items
+
+
+def test_prepare_example_numpy_fallback_matches_contract(voc_root):
+    # Force the numpy augmentation path and check the Example contract holds
+    # (the native path is covered in test_native.py).
+    records = voc.load_records(voc_root, train=True)
+    ex = pipeline.prepare_example(records[0], 300, True, False, seed=1,
+                                  use_native_augment=False)
+    assert ex.image.shape == (300, 300, 3)
+    assert np.isfinite(ex.image).all()
+    if len(ex.boxes):
+        assert ex.boxes.min() >= 0.0 and ex.boxes.max() <= 1.0
