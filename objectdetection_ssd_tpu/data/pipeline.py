@@ -18,6 +18,7 @@ Replaces the reference's torch DataLoader + ragged-list collate
 from __future__ import annotations
 
 import dataclasses
+import multiprocessing
 import queue
 import threading
 from concurrent.futures import ProcessPoolExecutor
@@ -169,7 +170,12 @@ class Loader:
                             num_workers=max(config.num_workers, 4))
         self._pool = None
         if config.num_workers > 0:
-            self._pool = ProcessPoolExecutor(max_workers=config.num_workers)
+            # spawn (not fork): the parent typically has JAX/TPU runtime
+            # threads, and forking such a process can deadlock. Workers only
+            # import numpy/PIL/native — no device runtime.
+            self._pool = ProcessPoolExecutor(
+                max_workers=config.num_workers,
+                mp_context=multiprocessing.get_context("spawn"))
 
     def __len__(self) -> int:
         n = len(self.records)

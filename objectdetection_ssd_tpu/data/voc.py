@@ -119,7 +119,10 @@ def load_records(voc_root: str, train: bool = True,
     images, xmls = voc_file_lists(voc_root, train)
     parser = _best_parser()
     if num_workers and len(xmls) > 64:
-        with ProcessPoolExecutor(max_workers=num_workers) as pool:
+        import multiprocessing
+        with ProcessPoolExecutor(
+                max_workers=num_workers,
+                mp_context=multiprocessing.get_context("spawn")) as pool:
             parsed = list(pool.map(parser, xmls, chunksize=256))
     else:
         parsed = [parser(x) for x in xmls]
