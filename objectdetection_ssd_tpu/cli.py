@@ -84,14 +84,19 @@ def cmd_train(args) -> int:
     epoch_callback = None
     if args.eval_map_every:
         from objectdetection_ssd_tpu.eval.evaluate import evaluate_records
+        from objectdetection_ssd_tpu.infer.detector import Detector
+        cached_detector = []
 
         def epoch_callback(epoch, trainer):
             if (epoch + 1) % args.eval_map_every:
                 return
             params = trainer.state.params
             stats = trainer.state.batch_stats
+            if not cached_detector:
+                cached_detector.append(Detector(cfg, params, stats))
             aps, mean_ap = evaluate_records(cfg, params, val_recs,
-                                            batch_stats=stats)
+                                            batch_stats=stats,
+                                            detector=cached_detector[0])
             print(f"epoch {epoch}: val mAP = {mean_ap:.4f}")
     train_loader = Loader(train_recs, cfg.data, cfg.model.image_size,
                           train=True, seed=cfg.train.seed,

@@ -22,15 +22,24 @@ from objectdetection_ssd_tpu.infer.detector import Detector
 def evaluate_records(config: Config, params: Any, records: List[ImageRecord],
                      batch_stats: Any = None,
                      batch_size: Optional[int] = None,
-                     keep_difficult: Optional[bool] = None
+                     keep_difficult: Optional[bool] = None,
+                     detector: Optional[Detector] = None
                      ) -> Tuple[Dict[str, float], float]:
     """Returns (per-class AP, mAP) over ``records``.
 
     GT handling matches the reference protocol: difficult objects are
     dropped before matching (`Dataset.py:29-31`), detections and GT compared
     in normalized [0,1] coordinates (scale cancels in IoU).
+
+    Pass a ``detector`` to reuse its compiled inference program across
+    repeated evaluations (params/batch_stats are updated in place — they are
+    jit arguments, so no recompilation happens).
     """
-    detector = Detector(config, params, batch_stats)
+    if detector is None:
+        detector = Detector(config, params, batch_stats)
+    else:
+        detector.params = params
+        detector.batch_stats = batch_stats
     bs = batch_size or config.data.batch_size
     size = config.model.image_size
     if keep_difficult is None:
