@@ -137,14 +137,16 @@ class Trainer:
                 "training failed at epoch %d; writing emergency checkpoint",
                 epoch)
             try:
-                # Save the mid-epoch state under the failed epoch's index
-                # (never clobbers a completed epoch's checkpoint); resume
-                # continues from the next epoch.
+                # Finalize any in-flight async save first, then save the
+                # mid-epoch state under the failed epoch's index if that
+                # epoch has no checkpoint yet; resume continues from the
+                # next epoch.
+                self.ckpt.wait()
                 if self.ckpt.latest_epoch() != epoch:
                     self.ckpt.save(epoch, self.state,
                                    metadata={"history": self.history,
                                              "emergency": True})
-                    self.ckpt.wait()
+                self.ckpt.wait()
             except Exception:
                 logger.exception("emergency checkpoint failed")
             raise
