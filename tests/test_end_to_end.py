@@ -149,3 +149,18 @@ def test_emergency_checkpoint_on_failure(tiny_setup, tmp_path):
                        priors=_tiny_priors())
     assert trainer2.maybe_resume()
     assert trainer2.start_epoch >= 1
+
+
+def test_detector_from_checkpoint_fresh_init(tmp_path):
+    # No checkpoint present: from_checkpoint falls back to random init and
+    # still serves the full inference path.
+    from objectdetection_ssd_tpu.infer.detector import Detector
+    cfg = Config(
+        model=ModelConfig(image_size=64, backbone="vgg16"),
+        train=TrainConfig(checkpoint_dir=str(tmp_path / "none")),
+    )
+    # vgg16 at 64px won't produce 8732 anchors; use the real 300 size but
+    # only exercise construction + restore fallback logic.
+    cfg = cfg.replace(model=ModelConfig(image_size=300))
+    det = Detector.from_checkpoint(cfg)
+    assert det.params is not None
