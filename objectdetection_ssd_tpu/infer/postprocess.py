@@ -127,7 +127,7 @@ def postprocess(pred_offsets: jnp.ndarray, pred_logits: jnp.ndarray,
     -> final boxes never leaves the device (BASELINE.json north star).
     """
     bs = pred_offsets.shape[0]
-    k = config.per_class_top_k
+    k = min(config.per_class_top_k, pred_offsets.shape[1])
     decoded = box_ops.cxcywh_to_xyxy(
         box_ops.decode(pred_offsets, priors_cxcywh))       # (B, P, 4)
 
