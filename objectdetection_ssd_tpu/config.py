@@ -163,6 +163,10 @@ class OptimConfig:
     lr_decay_epochs: int = 7
     lr_decay_gamma: float = 0.1
     use_lr_schedule: bool = True
+    # Linear lr warmup over the first N steps (0 = off).  Not a reference
+    # feature — the reference fine-tunes a pretrained VGG and never needs
+    # it — but from-scratch SSD training is unstable without it.
+    warmup_steps: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

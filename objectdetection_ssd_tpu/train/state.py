@@ -113,10 +113,20 @@ def make_optimizer(config: OptimConfig, steps_per_epoch: int = 1,
                    ) -> optax.GradientTransformation:
     """The full SGD chain: wd -> momentum -> bias-lr scaling -> lr schedule."""
     if config.use_lr_schedule:
-        sched = step_decay_schedule(config.lr, config.lr_decay_gamma,
-                                    steps_per_epoch, config.lr_decay_epochs)
+        base = step_decay_schedule(config.lr, config.lr_decay_gamma,
+                                   steps_per_epoch, config.lr_decay_epochs)
     else:
-        sched = lambda count: config.lr  # noqa: E731 — reference parity
+        base = lambda count: config.lr  # noqa: E731 — reference parity
+    if config.warmup_steps > 0:
+        warm = config.warmup_steps
+
+        def sched(count):
+            ramp = jnp.minimum(
+                (count + 1) / warm, 1.0) if hasattr(count, "dtype") else min(
+                    (count + 1) / warm, 1.0)
+            return base(count) * ramp
+    else:
+        sched = base
     parts = [
         optax.add_decayed_weights(config.weight_decay),
         optax.trace(decay=config.momentum, nesterov=False),

@@ -189,3 +189,18 @@ def test_bias_lr_path_detection():
     got = {jax.tree_util.keystr(p): is_bias_path(p) for p, _ in flat}
     assert got == {"['bn']['bias']": True, "['bn']['scale']": False,
                    "['conv']['bias']": True, "['conv']['kernel']": False}
+
+
+def test_warmup_schedule():
+    from objectdetection_ssd_tpu.train.state import make_optimizer
+    cfg = OptimConfig(lr=1.0, use_lr_schedule=False, warmup_steps=10)
+    tx = make_optimizer(cfg)
+    params = {"w": jnp.ones((4,))}
+    opt_state = tx.init(params)
+    grads = {"w": jnp.ones((4,))}
+    # step 0: lr scaled by 1/10 -> update = -0.1 * (grad + wd*w) (momentum
+    # buffer = first grad)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    g_eff = 1.0 + 5e-4  # grad + weight decay
+    np.testing.assert_allclose(np.asarray(updates["w"]),
+                               -0.1 * g_eff, rtol=1e-6)
