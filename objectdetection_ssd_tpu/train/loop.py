@@ -51,7 +51,10 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
     def loss_fn(params):
         loc, conf, new_stats = _forward(state, params, batch, priors, rng,
                                         train=True)
-        loss = multibox_loss(loc, conf, batch["boxes"], batch["classes"],
+        # Loss math in f32 regardless of the model's compute dtype.
+        loss = multibox_loss(loc.astype(jnp.float32),
+                             conf.astype(jnp.float32),
+                             batch["boxes"], batch["classes"],
                              batch["mask"], priors, loss_config)
         return loss.total, (loss, new_stats)
 
@@ -71,7 +74,8 @@ def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray],
     `train_function.py:47-52`)."""
     loc, conf, _ = _forward(state, state.params, batch, priors,
                             rng=None, train=False)
-    loss = multibox_loss(loc, conf, batch["boxes"], batch["classes"],
+    loss = multibox_loss(loc.astype(jnp.float32), conf.astype(jnp.float32),
+                         batch["boxes"], batch["classes"],
                          batch["mask"], priors, loss_config)
     return {"loss": loss.total, "cls_loss": loss.cls, "loc_loss": loss.loc,
             "num_pos": loss.num_pos.astype(jnp.float32)}
