@@ -35,7 +35,10 @@ _tried = False
 
 def _build() -> bool:
     os.makedirs(_BUILD_DIR, exist_ok=True)
-    cmd = ["g++", "-O3", "-march=native", "-ffast-math", "-fPIC",
+    # NOTE: no -ffast-math — its crtfastmath startup code sets FTZ/DAZ for
+    # the WHOLE process when the .so loads, silently changing numpy/JAX
+    # float semantics (subnormals flush to zero).
+    cmd = ["g++", "-O3", "-march=native", "-fPIC",
            "-shared", "-fopenmp", "-std=c++17", "-o", _LIB_PATH, _SRC]
     try:
         res = subprocess.run(cmd, capture_output=True, timeout=120)
