@@ -144,8 +144,10 @@ def postprocess(pred_offsets: jnp.ndarray, pred_logits: jnp.ndarray,
                          axis=-1) - logz                   # (B, P) log-score
         _, anchor_idx = jax.lax.approx_max_k(
             max_fg, m, recall_target=config.approx_recall_target)
+        # gather first, THEN cast: avoids materializing an f32 copy of the
+        # full (B, P, 21) logits just to keep M rows of it
         logits_m = jnp.take_along_axis(
-            pred_logits.astype(jnp.float32), anchor_idx[..., None], axis=1)
+            pred_logits, anchor_idx[..., None], axis=1).astype(jnp.float32)
         logz_m = jnp.take_along_axis(logz, anchor_idx, axis=1)
         decoded = jnp.take_along_axis(decoded, anchor_idx[..., None], axis=1)
         cls_scores = jnp.exp(
