@@ -5,7 +5,9 @@ source as build/libvoc_native.so) and exposes:
   * `parse_voc_xml(path)` — reference-parity VOC annotation parsing
     (`DataLists.py:8-30`) without ElementTree;
   * `resize_normalize(img, size)` — PIL-BILINEAR-compatible resample fused
-    with ImageNet normalization (`Dataset.py:10-13`), OpenMP-parallel.
+    with ImageNet normalization (`Dataset.py:10-13`), OpenMP-parallel;
+  * `train_augment(...)` — the full training augmentation + preprocess
+    pipeline (`Util.py:566-607` semantics) in one call.
 
 Everything degrades gracefully: if g++ or the build is unavailable,
 `available()` is False and callers fall back to the pure-Python path.
