@@ -51,13 +51,18 @@ class Detector:
 
     def __init__(self, config: Config, params: Any,
                  batch_stats: Any = None,
-                 postprocess_config: Optional[PostprocessConfig] = None):
+                 postprocess_config: Optional[PostprocessConfig] = None,
+                 mesh=None):
+        """``mesh``: optional `jax.sharding.Mesh` with a ``data`` axis —
+        batches are sharded over it and params replicated, scaling batched
+        inference across chips the same way the train step does."""
         self.config = config
         self.model = build_model(config.model)
         self.params = params
         self.batch_stats = batch_stats
         self.pp_config = postprocess_config or config.postprocess
         self.priors = jnp.asarray(priors_lib.ssd300_priors(config.priors))
+        self.mesh = mesh
 
         def _infer(params, batch_stats, images):
             variables = {"params": params}
@@ -66,7 +71,14 @@ class Detector:
             loc, conf = self.model.apply(variables, images, train=False)
             return postprocess(loc, conf, self.priors, self.pp_config)
 
-        self._infer = jax.jit(_infer)
+        if mesh is None:
+            self._infer = jax.jit(_infer)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("data"))
+            self._infer = jax.jit(
+                _infer, in_shardings=(repl, repl, data), out_shardings=data)
 
     def detect_batch(self, images: jnp.ndarray) -> Detections:
         """(B, S, S, 3) preprocessed images -> Detections (normalized boxes)."""

@@ -165,3 +165,17 @@ def test_prepare_example_numpy_fallback_matches_contract(voc_root):
     assert np.isfinite(ex.image).all()
     if len(ex.boxes):
         assert ex.boxes.min() >= 0.0 and ex.boxes.max() <= 1.0
+
+
+def test_loader_worker_pool_spawn(voc_root):
+    # spawn-based worker pool produces the same batch as inline preparation
+    records = voc.load_records(voc_root, train=True)
+    cfg0 = DataConfig(batch_size=4, num_workers=0, max_boxes=8)
+    cfg2 = DataConfig(batch_size=4, num_workers=2, max_boxes=8)
+    inline = pipeline.Loader(records, cfg0, image_size=64, train=False)
+    pooled = pipeline.Loader(records, cfg2, image_size=64, train=False)
+    b0 = next(iter(inline.epoch(0)))
+    b1 = next(iter(pooled.epoch(0)))
+    pooled.close()
+    np.testing.assert_array_equal(b0["image_ids"], b1["image_ids"])
+    np.testing.assert_allclose(b0["images"], b1["images"])

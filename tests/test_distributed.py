@@ -40,3 +40,70 @@ def test_mesh_multi_axis():
     assert mesh_lib.local_batch_size(32, m) == 8
     with pytest.raises(ValueError):
         mesh_lib.local_batch_size(30, m)
+
+
+def test_sharded_detector_matches_single_device():
+    """Batched inference sharded over the 8-device mesh must produce the
+    same detections as the unsharded path."""
+    import dataclasses
+    import flax.linen as nn
+    import jax.numpy as jnp
+    from objectdetection_ssd_tpu.config import Config, ModelConfig
+    from objectdetection_ssd_tpu.infer import detector as detector_lib
+    from objectdetection_ssd_tpu.infer.postprocess import postprocess
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(8, (3, 3), strides=(8, 8), padding="SAME")(x)
+            loc = nn.Conv(4, (1, 1))(x)
+            conf = nn.Conv(21, (1, 1))(x)
+            return (loc.reshape(x.shape[0], -1, 4),
+                    conf.reshape(x.shape[0], -1, 21))
+
+    rng = np.random.default_rng(0)
+    pri = np.concatenate([rng.uniform(0.2, 0.8, (16, 2)),
+                          np.full((16, 2), 0.3)], 1).astype(np.float32)
+    model = Tiny()
+    images = jnp.asarray(rng.normal(0, 1, (8, 32, 32, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), images[:1])["params"]
+    cfg = Config(model=ModelConfig(image_size=32))
+    pp = dataclasses.replace(cfg.postprocess, per_class_top_k=16, top_k=10,
+                             use_approx_top_k=False)
+
+    def build(mesh):
+        det = detector_lib.Detector.__new__(detector_lib.Detector)
+        det.config = cfg
+        det.model = model
+        det.params = params
+        det.batch_stats = None
+        det.pp_config = pp
+        det.priors = jnp.asarray(pri)
+        det.mesh = mesh
+
+        def _infer(p, bs, imgs):
+            loc, conf = model.apply({"params": p}, imgs, train=False)
+            return postprocess(loc, conf, det.priors, det.pp_config)
+
+        if mesh is None:
+            det._infer = jax.jit(_infer)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            det._infer = jax.jit(
+                _infer,
+                in_shardings=(NamedSharding(mesh, P()),
+                              NamedSharding(mesh, P()),
+                              NamedSharding(mesh, P("data"))),
+                out_shardings=NamedSharding(mesh, P("data")))
+        return det
+
+    d_single = build(None).detect_batch(images)
+    mesh = mesh_lib.create_mesh()
+    sharded_images = mesh_lib.shard_batch(images, mesh)
+    d_mesh = build(mesh).detect_batch(sharded_images)
+    np.testing.assert_array_equal(np.asarray(d_single.valid),
+                                  np.asarray(d_mesh.valid))
+    np.testing.assert_allclose(np.asarray(d_single.scores),
+                               np.asarray(d_mesh.scores), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d_single.boxes_xyxy),
+                               np.asarray(d_mesh.boxes_xyxy), atol=1e-6)
