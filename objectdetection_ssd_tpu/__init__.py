@@ -14,6 +14,9 @@ from objectdetection_ssd_tpu.config import (BACKGROUND_CLASS, CLASS_TO_ID,
                                             ModelConfig, OptimConfig,
                                             PostprocessConfig, PriorConfig,
                                             TrainConfig)
+from objectdetection_ssd_tpu.infer.postprocess import (Detections,
+                                                        postprocess,
+                                                        scale_detections)
 from objectdetection_ssd_tpu.losses.multibox import multibox_loss
 from objectdetection_ssd_tpu.models.ssd import SSD300, SSDResNet34, build_model
 from objectdetection_ssd_tpu.ops.boxes import (cxcywh_to_xyxy, decode, encode,
