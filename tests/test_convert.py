@@ -197,3 +197,24 @@ def test_reference_checkpoint_conversion_shapes():
 
     loc, conf = model.apply({"params": params}, jnp.zeros((1, 300, 300, 3)))
     assert loc.shape == (1, 8732, 4) and conf.shape == (1, 8732, 21)
+
+
+def test_head_flatten_order_matches_torch():
+    """The (row, col, anchor, coord) interleave of flattened head outputs
+    must match the reference's permute(0,2,3,1)+view (`Model.py:212`), or
+    converted head weights would pair predictions with the wrong priors."""
+    torch.manual_seed(1)
+    k, C = 4, 21
+    head = nn.Conv2d(32, C * k, 3, padding=1)
+    x = torch.randn(1, 32, 5, 5)
+    with torch.no_grad():
+        t_out = head(x).permute(0, 2, 3, 1).contiguous().view(1, -1, C)
+
+    from objectdetection_ssd_tpu.models.layers import TorchConv, flatten_head
+    params = {"Conv_0": convert._conv(head.weight, head.bias)}
+    f_conv = TorchConv(C * k, kernel=3, padding=1)
+    f_raw = f_conv.apply({"params": params},
+                         jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    f_out = flatten_head(f_raw, C)
+    np.testing.assert_allclose(np.asarray(f_out), t_out.numpy(),
+                               atol=2e-5, rtol=1e-4)
