@@ -48,26 +48,35 @@ def evaluate_records(config: Config, params: Any, records: List[ImageRecord],
     det_boxes, det_classes, det_scores = [], [], []
     gt_boxes, gt_classes = [], []
 
-    for start in range(0, len(records), bs):
-        chunk = records[start:start + bs]
-        imgs = []
-        for rec in chunk:
-            r = rec if keep_difficult else rec.without_difficult()
-            raw = data_pipeline.load_image(r.image_path)
-            h, w = raw.shape[:2]
-            imgs.append(data_pipeline.preprocess_image(raw, size))
-            norm = r.boxes_xyxy / np.asarray([w, h, w, h], np.float32)
-            gt_boxes.append(norm.astype(np.float32))
-            gt_classes.append(r.classes)
-        # Pad the tail batch to the static batch size (one compilation).
-        n_real = len(imgs)
-        while len(imgs) < bs:
-            imgs.append(imgs[-1])
-        dets = detector.detect_batch(np.stack(imgs))
-        for i in range(n_real):
-            valid = np.asarray(dets.valid[i])
-            det_boxes.append(np.asarray(dets.boxes_xyxy[i])[valid])
-            det_classes.append(np.asarray(dets.classes[i])[valid])
-            det_scores.append(np.asarray(dets.scores[i])[valid])
+    def prep(rec: ImageRecord):
+        r = rec if keep_difficult else rec.without_difficult()
+        raw = data_pipeline.load_image(r.image_path)
+        h, w = raw.shape[:2]
+        norm = (r.boxes_xyxy /
+                np.asarray([w, h, w, h], np.float32)).astype(np.float32)
+        return data_pipeline.preprocess_image(raw, size), norm, r.classes
+
+    # Thread pool: decode (PIL) and the native resample both release the
+    # GIL, so threads overlap host preprocessing with the device batches.
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        prepared = pool.map(prep, records)
+        for start in range(0, len(records), bs):
+            chunk = [next(prepared) for _ in
+                     range(min(bs, len(records) - start))]
+            imgs = [c[0] for c in chunk]
+            for _, norm, classes in chunk:
+                gt_boxes.append(norm)
+                gt_classes.append(classes)
+            # Pad the tail batch to the static batch size (one compilation).
+            n_real = len(imgs)
+            while len(imgs) < bs:
+                imgs.append(imgs[-1])
+            dets = detector.detect_batch(np.stack(imgs))
+            for i in range(n_real):
+                valid = np.asarray(dets.valid[i])
+                det_boxes.append(np.asarray(dets.boxes_xyxy[i])[valid])
+                det_classes.append(np.asarray(dets.classes[i])[valid])
+                det_scores.append(np.asarray(dets.scores[i])[valid])
 
     return voc_map(det_boxes, det_classes, det_scores, gt_boxes, gt_classes)
