@@ -204,3 +204,42 @@ def test_warmup_schedule():
     g_eff = 1.0 + 5e-4  # grad + weight decay
     np.testing.assert_allclose(np.asarray(updates["w"]),
                                -0.1 * g_eff, rtol=1e-6)
+
+
+def test_train_step_deterministic():
+    """Same seed + same data -> bit-identical loss trajectory."""
+    model = TinySSD()
+    priors = _tiny_priors()
+    batch = _tiny_batch()
+    step_fn, _ = loop_lib.make_jitted_steps(priors, LossConfig(), mesh=None,
+                                            donate=False)
+
+    def run():
+        state = create_train_state(
+            model, jax.random.PRNGKey(3), batch["images"][:1],
+            OptimConfig(lr=0.01, use_lr_schedule=False))
+        losses = []
+        for _ in range(3):
+            state, m = step_fn(state, batch)
+            losses.append(float(m["loss"]))
+        return losses
+
+    np.testing.assert_array_equal(run(), run())
+
+
+def test_checkpoint_retention(tmp_path):
+    from objectdetection_ssd_tpu.train.checkpoint import CheckpointManager
+    model = TinySSD()
+    batch = _tiny_batch(bs=2)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), batch["images"][:1],
+        OptimConfig(use_lr_schedule=False))
+    mgr = CheckpointManager(str(tmp_path / "ck"), max_to_keep=2)
+    for epoch in range(5):
+        mgr.save(epoch, state)
+    mgr.wait()
+    assert mgr.latest_epoch() == 4
+    kept = sorted(int(p.name) for p in (tmp_path / "ck").iterdir()
+                  if p.name.isdigit())
+    assert kept == [3, 4]
+    mgr.close()
