@@ -204,3 +204,70 @@ def test_anchor_prefilter_matches_full_path():
         assert r0.shape == r1.shape
         np.testing.assert_allclose(r0[:, :5], r1[:, :5], atol=1e-6)
         np.testing.assert_allclose(r0[:, 5], r1[:, 5], atol=1e-2)
+
+
+def test_full_inference_flow_matches_reference_oracle():
+    """End-to-end postprocess vs a numpy transcription of the reference's
+    whole `inference` flow (`Losses.py:11-98`): per class threshold 0.2 ->
+    sort desc -> greedy NMS 0.45 -> concat -> global top-k by score."""
+    from objectdetection_ssd_tpu.config import PostprocessConfig
+
+    rng = np.random.default_rng(11)
+    P = 512
+    lo = rng.uniform(0.05, 0.75, (P, 2)).astype(np.float32)
+    wh = rng.uniform(0.05, 0.2, (P, 2)).astype(np.float32)
+    priors = np.concatenate([lo + wh / 2, wh], 1)        # cxcywh
+    offsets = (rng.normal(0, 0.3, (1, P, 4))).astype(np.float32)
+    logits = np.zeros((1, P, 21), np.float32)
+    logits[..., 20] = 4.0                                 # bg default
+    hot = rng.choice(P, 60, replace=False)
+    for i in hot:
+        logits[0, i, rng.integers(0, 20)] = rng.uniform(5.0, 9.0)
+
+    # ---- numpy oracle ----
+    def np_decode(off, pri):
+        xy = off[:, :2] * pri[:, 2:] / 10 + pri[:, :2]
+        w_h = np.exp(off[:, 2:] / 5) * pri[:, 2:]
+        return np.concatenate([xy - w_h / 2, xy + w_h / 2], 1)
+
+    dec = np_decode(offsets[0], priors)
+    e = np.exp(logits[0] - logits[0].max(1, keepdims=True))
+    probs = e / e.sum(1, keepdims=True)
+    all_rows = []
+    for c in range(20):
+        scores = probs[:, c]
+        keep_idx = np.where(scores >= 0.2)[0]
+        if len(keep_idx) == 0:
+            continue
+        order = keep_idx[np.argsort(-scores[keep_idx], kind="stable")]
+        b = dec[order]
+        iou = _np_iou(b, b)
+        n = len(order)
+        sup = np.zeros(n, bool)
+        for i in range(n):
+            if sup[i]:
+                continue
+            sup |= iou[i] >= 0.45
+            sup[i] = False
+        for j in np.where(~sup)[0]:
+            all_rows.append((c, scores[order[j]], b[j]))
+    all_rows.sort(key=lambda r: -r[1])
+    all_rows = all_rows[:200]
+
+    # ---- framework, exact mode with generous K ----
+    cfg = PostprocessConfig(per_class_top_k=128, top_k=200,
+                            use_approx_top_k=False)
+    dets = postprocess(jnp.asarray(offsets), jnp.asarray(logits),
+                       jnp.asarray(priors), cfg)
+    v = np.asarray(dets.valid[0])
+    got = sorted(
+        zip(np.asarray(dets.classes[0])[v].tolist(),
+            np.asarray(dets.scores[0])[v].tolist(),
+            [tuple(b) for b in np.asarray(dets.boxes_xyxy[0])[v]]),
+        key=lambda r: -r[1])
+
+    assert len(got) == len(all_rows)
+    for (wc, ws, wb), (gc, gs, gb) in zip(all_rows, got):
+        assert wc == gc
+        np.testing.assert_allclose(gs, ws, rtol=1e-5)
+        np.testing.assert_allclose(gb, wb, atol=1e-5)
