@@ -21,6 +21,9 @@ from objectdetection_ssd_tpu.losses.multibox import multibox_loss
 from objectdetection_ssd_tpu.models.ssd import SSD300, SSDResNet34, build_model
 from objectdetection_ssd_tpu.ops.boxes import (cxcywh_to_xyxy, decode, encode,
                                                pairwise_iou, xyxy_to_cxcywh)
-from objectdetection_ssd_tpu.ops.priors import ssd300_priors, zoom_ratio_priors
+from objectdetection_ssd_tpu.ops.priors import (priors_for_model,
+                                                resnet34_priors,
+                                                ssd300_priors,
+                                                zoom_ratio_priors)
 
 __version__ = "0.1.0"

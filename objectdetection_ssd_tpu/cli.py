@@ -83,7 +83,8 @@ def cmd_train(args) -> int:
 
     epoch_callback = None
     if args.eval_map_every:
-        from objectdetection_ssd_tpu.eval.evaluate import evaluate_records
+        from objectdetection_ssd_tpu.eval.evaluate import (
+            evaluate_records, exact_eval_postprocess)
         from objectdetection_ssd_tpu.infer.detector import Detector
         cached_detector = []
 
@@ -93,7 +94,10 @@ def cmd_train(args) -> int:
             params = trainer.state.params
             stats = trainer.state.batch_stats
             if not cached_detector:
-                cached_detector.append(Detector(cfg, params, stats))
+                cached_detector.append(Detector(
+                    cfg, params, stats,
+                    postprocess_config=exact_eval_postprocess(
+                        cfg.postprocess)))
             aps, mean_ap = evaluate_records(cfg, params, val_recs,
                                             batch_stats=stats,
                                             detector=cached_detector[0])
@@ -101,11 +105,10 @@ def cmd_train(args) -> int:
     train_loader = Loader(train_recs, cfg.data, cfg.model.image_size,
                           train=True, seed=cfg.train.seed,
                           cache_path=args.image_cache)
-    # drop_last: the loss-eval phase shards batches over the mesh, so every
-    # batch must be full; mAP eval (evaluate_records) pads instead and
-    # covers every image.
+    # The loss-eval phase pads tail batches to the static batch shape
+    # (Trainer._run_phase) so every val image is covered.
     eval_loader = Loader(val_recs, cfg.data, cfg.model.image_size,
-                         train=False, drop_last=True)
+                         train=False, drop_last=False)
     trainer = Trainer(cfg, train_loader, eval_loader,
                       epoch_callback=epoch_callback)
     if args.resume:
@@ -118,7 +121,7 @@ def cmd_eval(args) -> int:
     from objectdetection_ssd_tpu.eval.evaluate import evaluate_records
     cfg = build_config(args)
     _, val_recs = _load_split(cfg, args)
-    params, batch_stats = _restore_params(cfg)
+    params, batch_stats = _restore_params(cfg, args.allow_random_init)
     aps, mean_ap = evaluate_records(cfg, params, val_recs,
                                     batch_stats=batch_stats)
     for name, ap in aps.items():
@@ -130,7 +133,7 @@ def cmd_eval(args) -> int:
 def cmd_detect(args) -> int:
     from objectdetection_ssd_tpu.infer.detector import Detector
     cfg = build_config(args)
-    params, batch_stats = _restore_params(cfg)
+    params, batch_stats = _restore_params(cfg, args.allow_random_init)
     det = Detector(cfg, params, batch_stats)
     results = det.detect_images(args.images)
     for path, res in zip(args.images, results):
@@ -148,9 +151,12 @@ def cmd_detect(args) -> int:
     return 0
 
 
-def _restore_params(cfg: config_lib.Config):
-    """Restore params (+ batch_stats) from the latest checkpoint, or fresh
-    random init when no checkpoint exists."""
+def _restore_params(cfg: config_lib.Config, allow_random_init: bool = False):
+    """Restore params (+ batch_stats) from the latest checkpoint.
+
+    Errors out when no checkpoint exists unless ``--allow-random-init`` was
+    passed — a typo'd --checkpoint-dir must not silently eval/detect with
+    random weights."""
     import jax
     import jax.numpy as jnp
     from objectdetection_ssd_tpu.models.ssd import build_model
@@ -165,6 +171,11 @@ def _restore_params(cfg: config_lib.Config):
         state, _, epoch = mgr.restore(state)
         print(f"restored checkpoint epoch {epoch}", file=sys.stderr)
     except FileNotFoundError:
+        if not allow_random_init:
+            raise SystemExit(
+                f"error: no checkpoint found under "
+                f"{cfg.train.checkpoint_dir!r} (use --allow-random-init to "
+                "run with fresh random weights)")
         print("no checkpoint found; using random init", file=sys.stderr)
     return state.params, state.batch_stats
 
@@ -191,12 +202,18 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     p_eval = sub.add_parser("eval", help="evaluate mAP on the val split")
     _common_flags(p_eval)
+    p_eval.add_argument("--allow-random-init", action="store_true",
+                        help="proceed with random weights when no "
+                             "checkpoint is found (smoke tests)")
     p_eval.set_defaults(fn=cmd_eval)
 
     p_det = sub.add_parser("detect", help="detect objects in images")
     _common_flags(p_det)
     p_det.add_argument("images", nargs="+")
     p_det.add_argument("--draw", action="store_true")
+    p_det.add_argument("--allow-random-init", action="store_true",
+                       help="proceed with random weights when no "
+                            "checkpoint is found (smoke tests)")
     p_det.set_defaults(fn=cmd_detect)
 
     args = parser.parse_args(argv)

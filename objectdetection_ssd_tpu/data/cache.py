@@ -15,8 +15,10 @@ view scaled to float32 only at use time.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import threading
+from collections import deque
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -25,14 +27,31 @@ _handles: Dict[str, Tuple[np.memmap, np.ndarray, np.ndarray, np.ndarray]] = {}
 _lock = threading.Lock()
 
 
+def _paths_digest(image_paths: List[str]) -> str:
+    return hashlib.sha256("\n".join(image_paths).encode()).hexdigest()
+
+
 def build(image_paths: List[str], cache_path: str,
           num_workers: int = 0) -> str:
-    """Decode all images into the packed cache (idempotent)."""
+    """Decode all images into the packed cache (idempotent, streaming).
+
+    Idempotence is keyed on a hash of the full ordered path list (not just
+    the count — a changed split/order/root must trigger a rebuild).  The
+    build streams: each decoded image is written immediately and at most
+    ~2x num_workers decoded images are in flight, so memory stays constant
+    regardless of corpus size (VOC07+12 fully decoded is ~8-9 GB — the
+    round-1 list-building version would OOM small hosts).  Output files are
+    written to temp names and atomically renamed, index last, so a crashed
+    or concurrent build never yields a valid-looking corrupt cache.
+    """
     idx_path = cache_path + ".idx.npz"
     bin_path = cache_path + ".bin"
+    digest = _paths_digest(image_paths)
     if os.path.exists(idx_path) and os.path.exists(bin_path):
         idx = np.load(idx_path)
-        if len(idx["heights"]) == len(image_paths):
+        if ("paths_sha256" in idx
+                and str(idx["paths_sha256"]) == digest
+                and len(idx["heights"]) == len(image_paths)):
             return cache_path
     from objectdetection_ssd_tpu.data.pipeline import load_image
 
@@ -40,21 +59,58 @@ def build(image_paths: List[str], cache_path: str,
         img = load_image(p)
         return (img * 255.0 + 0.5).astype(np.uint8)
 
-    if num_workers:
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=num_workers) as pool:
-            imgs = list(pool.map(decode, image_paths))
-    else:
-        imgs = [decode(p) for p in image_paths]
+    heights: List[int] = []
+    widths: List[int] = []
+    tmp_bin = bin_path + f".tmp.{os.getpid()}"
 
-    heights = np.asarray([im.shape[0] for im in imgs], np.int64)
-    widths = np.asarray([im.shape[1] for im in imgs], np.int64)
-    sizes = heights * widths * 3
-    offsets = np.concatenate([[0], np.cumsum(sizes)])
-    with open(bin_path, "wb") as f:
-        for im in imgs:
-            f.write(np.ascontiguousarray(im).tobytes())
-    np.savez(idx_path, offsets=offsets, heights=heights, widths=widths)
+    def write_all(sink):
+        if num_workers:
+            # Windowed submission: bounded in-flight decodes, in-order write.
+            from concurrent.futures import ThreadPoolExecutor
+            window = max(2 * num_workers, 4)
+            with ThreadPoolExecutor(max_workers=num_workers) as pool:
+                pending: deque = deque()
+                it = iter(image_paths)
+
+                def submit_next() -> bool:
+                    p = next(it, None)
+                    if p is None:
+                        return False
+                    pending.append(pool.submit(decode, p))
+                    return True
+
+                for _ in range(window):
+                    if not submit_next():
+                        break
+                while pending:
+                    im = pending.popleft().result()
+                    heights.append(im.shape[0])
+                    widths.append(im.shape[1])
+                    sink.write(np.ascontiguousarray(im).tobytes())
+                    submit_next()
+        else:
+            for p in image_paths:
+                im = decode(p)
+                heights.append(im.shape[0])
+                widths.append(im.shape[1])
+                sink.write(np.ascontiguousarray(im).tobytes())
+
+    try:
+        with open(tmp_bin, "wb") as f:
+            write_all(f)
+        os.replace(tmp_bin, bin_path)
+    finally:
+        if os.path.exists(tmp_bin):
+            os.unlink(tmp_bin)
+    h = np.asarray(heights, np.int64)
+    w = np.asarray(widths, np.int64)
+    offsets = np.concatenate([[0], np.cumsum(h * w * 3)])
+    tmp_idx = idx_path + f".tmp.{os.getpid()}.npz"
+    np.savez(tmp_idx, offsets=offsets, heights=h, widths=w,
+             paths_sha256=digest)
+    os.replace(tmp_idx, idx_path)
+    with _lock:
+        _handles.pop(cache_path, None)       # drop any stale mmap
     return cache_path
 
 

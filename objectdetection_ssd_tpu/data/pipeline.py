@@ -211,19 +211,49 @@ class Loader:
 
 
 def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
-    """Background-thread prefetch so host batching overlaps device steps."""
+    """Background-thread prefetch so host batching overlaps device steps.
+
+    If the consumer abandons the generator early (exception mid-epoch,
+    `break`), the producer is cancelled instead of blocking forever on a
+    full queue pinning the underlying loader/process-pool iterator.
+    """
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
+    cancelled = threading.Event()
 
     def producer():
-        for item in iterator:
-            q.put(item)
-        q.put(sentinel)
+        try:
+            for item in iterator:
+                while not cancelled.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if cancelled.is_set():
+                    return
+        finally:
+            while not cancelled.is_set():
+                try:
+                    q.put(sentinel, timeout=0.1)
+                    return
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            yield item
+    finally:
+        cancelled.set()
+        # Drain so a producer blocked mid-put can observe cancellation.
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join(timeout=5.0)

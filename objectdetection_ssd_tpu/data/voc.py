@@ -89,16 +89,28 @@ def voc_file_lists(voc_root: str, train: bool = True
                  ("VOC2012", "trainval.txt", "{}")]
     else:
         years = [("VOC2012", "test.txt", "{}")]
+    missing = []
     for year, list_name, fmt in years:
         base = os.path.join(voc_root, year)
         ids_file = os.path.join(base, "ImageSets", "Main", list_name)
         if not os.path.exists(ids_file):
+            # A wrong --voc-root or a half-downloaded dataset must not
+            # silently train on a partial corpus (round-1 advisor finding).
+            missing.append(ids_file)
+            import logging
+            logging.getLogger("objectdetection_ssd_tpu").warning(
+                "VOC list file missing: %s — skipping %s", ids_file, year)
             continue
         for raw in _read_ids(ids_file):
             # 2007 ids are ints needing zero-padding (`DataLists.py:41`).
             sid = fmt.format(int(raw)) if fmt == "{:06d}" else raw
             images.append(os.path.join(base, "JPEGImages", sid + ".jpg"))
             xmls.append(os.path.join(base, "Annotations", sid + ".xml"))
+    if not images:
+        raise FileNotFoundError(
+            f"no VOC images found under {voc_root!r}: "
+            + (f"missing list files {missing}" if missing
+               else "the ImageSets lists are empty"))
     return images, xmls
 
 

@@ -8,15 +8,30 @@ detection tensors come back to the host.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
-from objectdetection_ssd_tpu.config import Config
+from objectdetection_ssd_tpu.config import Config, PostprocessConfig
 from objectdetection_ssd_tpu.data import pipeline as data_pipeline
 from objectdetection_ssd_tpu.data.voc import ImageRecord
 from objectdetection_ssd_tpu.eval.voc_map import voc_map
 from objectdetection_ssd_tpu.infer.detector import Detector
+
+
+def exact_eval_postprocess(pp: PostprocessConfig) -> PostprocessConfig:
+    """Reference-comparable postprocess settings for mAP evaluation.
+
+    The latency-oriented defaults (approx top-k, anchor prefilter, small
+    per-class candidate cap) can drop true candidates early in training when
+    many anchors clear the 0.2 threshold; the reference NMSes every anchor
+    above threshold (`Losses.py:32-56`).  Exact mode ranks all anchors with
+    exact top-k and keeps >=200 per-class candidates.
+    """
+    return dataclasses.replace(
+        pp, use_approx_top_k=False, anchor_prefilter=0,
+        per_class_top_k=max(200, pp.per_class_top_k))
 
 
 def evaluate_records(config: Config, params: Any, records: List[ImageRecord],
@@ -36,7 +51,9 @@ def evaluate_records(config: Config, params: Any, records: List[ImageRecord],
     jit arguments, so no recompilation happens).
     """
     if detector is None:
-        detector = Detector(config, params, batch_stats)
+        detector = Detector(config, params, batch_stats,
+                            postprocess_config=exact_eval_postprocess(
+                                config.postprocess))
     else:
         detector.params = params
         detector.batch_stats = batch_stats

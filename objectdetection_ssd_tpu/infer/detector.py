@@ -30,9 +30,14 @@ class Detector:
     @classmethod
     def from_checkpoint(cls, config: Config,
                         checkpoint_dir: Optional[str] = None,
+                        allow_random_init: bool = False,
                         **kw) -> "Detector":
-        """Build a Detector from the latest orbax checkpoint (falls back to
-        fresh random init when none exists — mirrors the CLI behavior)."""
+        """Build a Detector from the latest orbax checkpoint.
+
+        Raises FileNotFoundError when no checkpoint exists (a typo'd
+        directory must not silently serve random-weight garbage); pass
+        ``allow_random_init=True`` to get a fresh-init detector instead
+        (smoke tests, architecture checks)."""
         import jax
         from objectdetection_ssd_tpu.train.checkpoint import CheckpointManager
         from objectdetection_ssd_tpu.train.state import create_train_state
@@ -41,12 +46,15 @@ class Detector:
         state = create_train_state(
             model, jax.random.PRNGKey(config.train.seed),
             jnp.zeros((1, size, size, 3)), config.optim)
+        ckpt_dir = checkpoint_dir or config.train.checkpoint_dir
         try:
-            mgr = CheckpointManager(
-                checkpoint_dir or config.train.checkpoint_dir)
+            mgr = CheckpointManager(ckpt_dir)
             state, _, _ = mgr.restore(state)
         except FileNotFoundError:
-            pass
+            if not allow_random_init:
+                raise FileNotFoundError(
+                    f"no checkpoint found under {ckpt_dir!r}; pass "
+                    "allow_random_init=True for an untrained detector")
         return cls(config, state.params, state.batch_stats, **kw)
 
     def __init__(self, config: Config, params: Any,
@@ -61,7 +69,8 @@ class Detector:
         self.params = params
         self.batch_stats = batch_stats
         self.pp_config = postprocess_config or config.postprocess
-        self.priors = jnp.asarray(priors_lib.ssd300_priors(config.priors))
+        self.priors = jnp.asarray(
+            priors_lib.priors_for_model(config.model, config.priors))
         self.mesh = mesh
 
         def _infer(params, batch_stats, images):

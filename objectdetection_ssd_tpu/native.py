@@ -35,16 +35,42 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
+def _lib_fresh() -> bool:
+    return os.path.exists(_LIB_PATH) and (
+        os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC))
+
+
 def _build() -> bool:
+    """Compile the .so — safe under concurrent spawn workers.
+
+    Cross-process safety: an fcntl file lock serializes builders, and the
+    compiler writes to a per-pid temp file atomically renamed into place, so
+    a worker can never dlopen a half-written .so (round-1 weakness: N spawn
+    workers invoked g++ onto the same output path concurrently).
+    """
+    import fcntl
     os.makedirs(_BUILD_DIR, exist_ok=True)
+    tmp = _LIB_PATH + f".tmp.{os.getpid()}"
     # NOTE: no -ffast-math — its crtfastmath startup code sets FTZ/DAZ for
     # the WHOLE process when the .so loads, silently changing numpy/JAX
     # float semantics (subnormals flush to zero).
     cmd = ["g++", "-O3", "-march=native", "-fPIC",
-           "-shared", "-fopenmp", "-std=c++17", "-o", _LIB_PATH, _SRC]
+           "-shared", "-fopenmp", "-std=c++17", "-o", tmp, _SRC]
     try:
-        res = subprocess.run(cmd, capture_output=True, timeout=120)
-        return res.returncode == 0 and os.path.exists(_LIB_PATH)
+        with open(_LIB_PATH + ".lock", "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            try:
+                if _lib_fresh():
+                    return True          # another process built it first
+                res = subprocess.run(cmd, capture_output=True, timeout=120)
+                if res.returncode != 0 or not os.path.exists(tmp):
+                    return False
+                os.replace(tmp, _LIB_PATH)
+                return True
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+                fcntl.flock(lockf, fcntl.LOCK_UN)
     except (OSError, subprocess.SubprocessError):
         return False
 
@@ -57,8 +83,7 @@ def _load() -> Optional[ctypes.CDLL]:
         _tried = True
         if not os.path.exists(_SRC):
             return None
-        if not os.path.exists(_LIB_PATH) or (
-                os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
+        if not _lib_fresh():
             if not _build():
                 return None
         try:

@@ -117,3 +117,56 @@ def zoom_ratio_priors(reference_order: bool = True
         ancs = np.stack(
             [ancs[:, 1], ancs[:, 0], ancs[:, 2], ancs[:, 3]], axis=1)
     return ancs, np.concatenate(grid_sizes, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def resnet34_priors() -> np.ndarray:
+    """(189, 4) cxcywh priors aligned with `SSDResNet34`'s head emission.
+
+    The reference ships a ResNet variant whose k=3 heads contradict its own
+    189-anchor zoom/ratio generator (`Model.py:37-47` vs `Util.py:144-164`;
+    SURVEY.md §2 row 13) — the pairing was never coherent.  This is the
+    framework-native coherent pairing: taps 4x4, 2x2, 1x1 in model order,
+    cells **row-major** (row slow, col fast) to match `flatten_head`'s
+    (row, col, anchor) flattening, 9 zoom x ratio anchors per cell using the
+    reference generator's zoom/ratio values, standard (cx, cy, w, h)
+    columns, clipped to [0, 1] like the SSD300 generator (`Util.py:136`).
+
+    `zoom_ratio_priors` keeps the reference's own (col-slow, (y,x,w,h))
+    emission for its legacy tanh-decode parity path.
+    """
+    grids = (4, 2, 1)
+    zooms = (0.75, 1.0, 1.3)
+    ratio_pairs = ((1.0, 1.0), (1.0, 0.5), (0.5, 1.0))
+    scales = np.asarray(
+        [(z * i, z * j) for z in zooms for (i, j) in ratio_pairs],
+        dtype=np.float32)                                   # (9, 2) (w, h)
+    k = scales.shape[0]
+    per_map = []
+    for g in grids:
+        centers = (np.arange(g, dtype=np.float32) + 0.5) / g
+        cy, cx = np.meshgrid(centers, centers, indexing="ij")  # row-major
+        cxy = np.stack([cx, cy], axis=-1)                   # (g, g, 2)
+        wh = scales / g                                     # (k, 2)
+        cell = np.concatenate(
+            [np.broadcast_to(cxy[:, :, None, :], (g, g, k, 2)),
+             np.broadcast_to(wh[None, None, :, :], (g, g, k, 2))],
+            axis=-1)
+        per_map.append(cell.reshape(-1, 4))
+    return np.clip(np.concatenate(per_map, axis=0), 0.0, 1.0)
+
+
+def priors_for_model(model_config, prior_config: PriorConfig | None = None
+                     ) -> np.ndarray:
+    """Priors matching ``model_config.backbone``'s head layout.
+
+    vgg16 -> 8732 SSD300 priors; resnet34 -> 189 coherent zoom/ratio priors.
+    This is the single dispatch point Trainer/Detector/eval use so a
+    backbone switch can never pair a model with the wrong anchor set.
+    """
+    backbone = getattr(model_config, "backbone", model_config)
+    if backbone == "vgg16":
+        return ssd300_priors(prior_config)
+    if backbone == "resnet34":
+        return resnet34_priors()
+    raise ValueError(f"unknown backbone: {backbone!r}")

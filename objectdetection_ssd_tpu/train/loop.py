@@ -43,10 +43,14 @@ def _forward(state: TrainState, params, batch, priors, rng, train: bool):
 
 def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                priors: jnp.ndarray,
-               loss_config: LossConfig = LossConfig()
+               loss_config: LossConfig = LossConfig(),
+               seed: int = 0
                ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-    """One SGD step; returns (new_state, metrics)."""
-    rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+    """One SGD step; returns (new_state, metrics).
+
+    ``seed`` roots the dropout stream (folded with the step counter), so
+    different `TrainConfig.seed` values draw different dropout masks."""
+    rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
 
     def loss_fn(params):
         loc, conf, new_stats = _forward(state, params, batch, priors, rng,
@@ -82,7 +86,8 @@ def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray],
 
 
 def make_jitted_steps(priors: jnp.ndarray, loss_config: LossConfig,
-                      mesh: Optional[Mesh] = None, donate: bool = True):
+                      mesh: Optional[Mesh] = None, donate: bool = True,
+                      seed: int = 0):
     """Compile train/eval steps, optionally with explicit mesh shardings.
 
     With a mesh: batch arrays are sharded over the ``data`` axis, state is
@@ -90,7 +95,7 @@ def make_jitted_steps(priors: jnp.ndarray, loss_config: LossConfig,
     the gradient all-reduce over ICI.
     """
     t_step = functools.partial(train_step, priors=priors,
-                               loss_config=loss_config)
+                               loss_config=loss_config, seed=seed)
     e_step = functools.partial(eval_step, priors=priors,
                                loss_config=loss_config)
     if mesh is None:

@@ -43,9 +43,14 @@ class Trainer:
             config.train.mesh_shape, config.train.mesh_axis_names)
         self.epoch_callback = epoch_callback
 
+        # Fail fast on a batch the mesh can't shard (clearer than the
+        # device_put error deep inside the first step).
+        mesh_lib.local_batch_size(config.data.batch_size, self.mesh)
+
         self.model = model if model is not None else build_model(config.model)
         self.priors = (jax.numpy.asarray(priors) if priors is not None else
-                       jax.numpy.asarray(priors_lib.ssd300_priors(config.priors)))
+                       jax.numpy.asarray(priors_lib.priors_for_model(
+                           config.model, config.priors)))
         steps_per_epoch = max(len(train_loader), 1)
         rng = jax.random.PRNGKey(config.train.seed)
         sample = jax.numpy.zeros(
@@ -57,7 +62,7 @@ class Trainer:
 
         self.train_step, self.eval_step = loop_lib.make_jitted_steps(
             self.priors, config.loss, mesh=self.mesh,
-            donate=config.train.donate_state)
+            donate=config.train.donate_state, seed=config.train.seed)
         self.ckpt = CheckpointManager(
             config.train.checkpoint_dir,
             max_to_keep=config.train.max_checkpoints_to_keep)
@@ -76,14 +81,27 @@ class Trainer:
         return True
 
     def _run_phase(self, epoch: int, train: bool) -> float:
+        import numpy as np
         loader = self.train_loader if train else self.eval_loader
         phase = "train" if train else "test"
         mlog = MetricsLogger(self.config.train.log_every_steps, prefix=phase)
         epoch_loss = 0.0
         n_images = 0
+        full_bs = loader.config.batch_size
         for batch in prefetch(loader.epoch(epoch)):
             bs = batch["images"].shape[0]
             batch = {k: v for k, v in batch.items() if k != "image_ids"}
+            if bs < full_bs:
+                # Pad the tail batch to the static batch shape (one XLA
+                # compilation, mesh-divisible).  Padded images carry an
+                # all-false GT mask, so they contribute zero positives and
+                # zero hard negatives — the batch loss is exactly the loss
+                # over the real images (the reference evaluates its full
+                # held-out phase, `train_function.py:47-52`).
+                pad = full_bs - bs
+                batch = {k: np.concatenate(
+                    [v, np.zeros((pad,) + v.shape[1:], v.dtype)])
+                    for k, v in batch.items()}
             batch = mesh_lib.shard_batch(batch, self.mesh)
             if train:
                 self.state, metrics = self.train_step(self.state, batch)

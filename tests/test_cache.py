@@ -48,3 +48,42 @@ def test_loader_with_cache_matches_direct(setup):
     np.testing.assert_array_equal(b0["classes"], b1["classes"])
     # pixel paths may differ by the uint8 round-trip only
     assert np.abs(b0["images"] - b1["images"]).max() < 0.05
+
+
+def test_build_rebuilds_on_changed_paths(setup):
+    """Equal-length but different path lists must NOT reuse the stale cache
+    (round-1 advisor finding: idempotence keyed only on count)."""
+    records, cache_path = setup
+    paths = [r.image_path for r in records]
+    cache.build(paths, cache_path)
+    first = cache.get_image(cache_path, 0).copy()
+    # Same count, rotated order: index 0 now maps to a different image.
+    rotated = paths[1:] + paths[:1]
+    cache.build(rotated, cache_path, num_workers=2)
+    rebuilt = cache.get_image(cache_path, 0)
+    want = pipeline.load_image(rotated[0])
+    assert rebuilt.shape == want.shape
+    assert np.abs(rebuilt - want).max() < 2 / 255.0
+    assert (first.shape != rebuilt.shape
+            or not np.allclose(first, rebuilt))
+    # Restore for other tests in the module.
+    cache.build(paths, cache_path)
+
+
+def test_build_streaming_parallel_matches_serial(tmp_path):
+    """Windowed parallel build writes images in order (byte-identical to the
+    serial build)."""
+    root = tmp_path / "voc"
+    synthetic.generate_voc(str(root), num_2007=10, num_2012=0,
+                           image_size=(50, 40), seed=9)
+    records = voc.load_records(str(root), train=True)
+    paths = [r.image_path for r in records]
+    p_serial = str(tmp_path / "serial")
+    p_par = str(tmp_path / "par")
+    cache.build(paths, p_serial, num_workers=0)
+    cache.build(paths, p_par, num_workers=3)
+    with open(p_serial + ".bin", "rb") as a, open(p_par + ".bin", "rb") as b:
+        assert a.read() == b.read()
+    for i in range(len(paths)):
+        np.testing.assert_array_equal(cache.get_image(p_serial, i),
+                                      cache.get_image(p_par, i))

@@ -179,3 +179,35 @@ def test_loader_worker_pool_spawn(voc_root):
     pooled.close()
     np.testing.assert_array_equal(b0["image_ids"], b1["image_ids"])
     np.testing.assert_allclose(b0["images"], b1["images"])
+
+
+def test_prefetch_releases_producer_on_early_exit():
+    """Abandoning the prefetch generator mid-epoch must unblock/terminate the
+    producer thread instead of leaving it pinned on a full queue."""
+    import threading
+    import time
+
+    produced = []
+    done = threading.Event()
+
+    def gen():
+        try:
+            for i in range(1000):
+                produced.append(i)
+                yield i
+        finally:
+            done.set()
+
+    it = pipeline.prefetch(gen(), size=2)
+    assert next(it) == 0
+    it.close()     # GeneratorExit -> finally -> cancel producer
+    deadline = time.monotonic() + 5.0
+    while time.monotonic() < deadline and not done.is_set():
+        time.sleep(0.05)
+    assert done.is_set(), "producer still running after consumer closed"
+    assert len(produced) < 1000
+
+
+def test_voc_file_lists_missing_root_raises(tmp_path):
+    with pytest.raises(FileNotFoundError, match="no VOC images"):
+        voc.voc_file_lists(str(tmp_path / "nowhere"))

@@ -151,16 +151,28 @@ def test_emergency_checkpoint_on_failure(tiny_setup, tmp_path):
     assert trainer2.start_epoch >= 1
 
 
-def test_detector_from_checkpoint_fresh_init(tmp_path):
-    # No checkpoint present: from_checkpoint falls back to random init and
-    # still serves the full inference path.
+def test_detector_from_checkpoint_missing_raises(tmp_path):
+    # No checkpoint present: from_checkpoint must FAIL LOUDLY (a typo'd dir
+    # silently serving random-weight garbage was a round-1 weakness); the
+    # explicit allow_random_init opt-in still serves the inference path.
     from objectdetection_ssd_tpu.infer.detector import Detector
     cfg = Config(
-        model=ModelConfig(image_size=64, backbone="vgg16"),
+        model=ModelConfig(image_size=300, backbone="vgg16"),
         train=TrainConfig(checkpoint_dir=str(tmp_path / "none")),
     )
-    # vgg16 at 64px won't produce 8732 anchors; use the real 300 size but
-    # only exercise construction + restore fallback logic.
-    cfg = cfg.replace(model=ModelConfig(image_size=300))
-    det = Detector.from_checkpoint(cfg)
+    with pytest.raises(FileNotFoundError, match="allow_random_init"):
+        Detector.from_checkpoint(cfg)
+    det = Detector.from_checkpoint(cfg, allow_random_init=True)
     assert det.params is not None
+
+
+def test_cli_eval_missing_checkpoint_errors(tmp_path):
+    from objectdetection_ssd_tpu import cli
+    from objectdetection_ssd_tpu.data import synthetic
+    root = tmp_path / "voc"
+    synthetic.generate_voc(str(root), num_2007=12, num_2012=0,
+                           image_size=(64, 64), seed=1)
+    with pytest.raises(SystemExit, match="no checkpoint"):
+        cli.main(["eval", "--voc-root", str(root),
+                  "--checkpoint-dir", str(tmp_path / "nope"),
+                  "--num-workers", "0"])
