@@ -72,6 +72,46 @@ def _load_split(cfg: config_lib.Config, args):
             [records[i] for i in val_ids])
 
 
+def _load_init_weights(args, cfg):
+    """Convert pretrained torch weights for --init-* flags.
+
+    The reference's flagship recipe starts from torchvision pretrained
+    trunks (`Model.py:131-161` VGG-16, `Model.py:21-30` ResNet-34) or from
+    one of its own checkpoints (`train_function.py:23-34`); these flags make
+    that recipe runnable end-to-end here.
+    Returns (init_params, init_batch_stats) or (None, None).
+    """
+    if not (getattr(args, "init_torch_vgg16", None)
+            or getattr(args, "init_torch_resnet34", None)
+            or getattr(args, "init_reference_ckpt", None)):
+        return None, None
+    import torch
+    from objectdetection_ssd_tpu.models import convert
+
+    def _state_dict(path):
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+        return obj.state_dict() if hasattr(obj, "state_dict") else obj
+
+    if getattr(args, "init_torch_vgg16", None):
+        if cfg.model.backbone != "vgg16":
+            raise SystemExit("--init-torch-vgg16 requires --backbone vgg16")
+        trunk = convert.vgg16_trunk_params(_state_dict(args.init_torch_vgg16))
+        return {"trunk": trunk}, None
+    if getattr(args, "init_torch_resnet34", None):
+        if cfg.model.backbone != "resnet34":
+            raise SystemExit(
+                "--init-torch-resnet34 requires --backbone resnet34")
+        tree = convert.resnet34_trunk_params(
+            _state_dict(args.init_torch_resnet34))
+        return {"trunk": tree["params"]}, {"trunk": tree["batch_stats"]}
+    if getattr(args, "init_reference_ckpt", None):
+        if cfg.model.backbone != "vgg16":
+            raise SystemExit("--init-reference-ckpt requires --backbone vgg16")
+        return convert.load_reference_checkpoint(
+            args.init_reference_ckpt), None
+    return None, None
+
+
 def cmd_train(args) -> int:
     from objectdetection_ssd_tpu.data.pipeline import Loader
     from objectdetection_ssd_tpu.train.trainer import Trainer
@@ -79,6 +119,7 @@ def cmd_train(args) -> int:
     if args.epochs is not None:
         cfg = cfg.replace(train=dataclasses.replace(
             cfg.train, num_epochs=args.epochs))
+    init_params, init_batch_stats = _load_init_weights(args, cfg)
     train_recs, val_recs = _load_split(cfg, args)
 
     epoch_callback = None
@@ -110,7 +151,9 @@ def cmd_train(args) -> int:
     eval_loader = Loader(val_recs, cfg.data, cfg.model.image_size,
                          train=False, drop_last=False)
     trainer = Trainer(cfg, train_loader, eval_loader,
-                      epoch_callback=epoch_callback)
+                      epoch_callback=epoch_callback,
+                      init_params=init_params,
+                      init_batch_stats=init_batch_stats)
     if args.resume:
         trainer.maybe_resume()
     trainer.fit(profile_dir=args.profile_dir)
@@ -198,6 +241,18 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_train.add_argument("--profile-dir", default=None,
                          help="capture a jax.profiler trace of the first "
                               "epoch to this directory")
+    p_train.add_argument("--init-torch-vgg16", default=None,
+                         help="initialize the VGG trunk from a torchvision "
+                              "vgg16 state_dict/.pth (the reference's "
+                              "pretrained-backbone recipe, Model.py:131-161)")
+    p_train.add_argument("--init-torch-resnet34", default=None,
+                         help="initialize the ResNet-34 trunk (params + BN "
+                              "stats) from a torchvision resnet34 "
+                              "state_dict/.pth")
+    p_train.add_argument("--init-reference-ckpt", default=None,
+                         help="initialize ALL SSD300 weights from a "
+                              "reference torch checkpoint "
+                              "(train_function.py:114-120 format)")
     p_train.set_defaults(fn=cmd_train)
 
     p_eval = sub.add_parser("eval", help="evaluate mAP on the val split")

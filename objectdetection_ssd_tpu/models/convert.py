@@ -141,3 +141,72 @@ def load_reference_checkpoint(path: str) -> Dict[str, Any]:
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt["cnn_state_dict"] if "cnn_state_dict" in ckpt else ckpt
     return ssd300_reference_params(sd)
+
+
+def _bn(sd: Mapping[str, Any], prefix: str):
+    """torch BatchNorm2d -> (flax params, flax batch_stats)."""
+    return ({"scale": _np(sd[f"{prefix}.weight"]),
+             "bias": _np(sd[f"{prefix}.bias"])},
+            {"mean": _np(sd[f"{prefix}.running_mean"]),
+             "var": _np(sd[f"{prefix}.running_var"])})
+
+
+def resnet34_trunk_params(state_dict: Mapping[str, Any]
+                          ) -> Dict[str, Dict[str, Any]]:
+    """torchvision resnet34 state_dict -> {'params', 'batch_stats'} for
+    `backbones.ResNet34Trunk` (the reference's pretrained frozen trunk,
+    `Model.py:21-30,81-86`)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    params["stem_conv"] = {"Conv_0": _conv(state_dict["conv1.weight"])}
+    params["stem_bn"], stats["stem_bn"] = _bn(state_dict, "bn1")
+    for si, n_blocks in enumerate((3, 4, 6, 3)):
+        for b in range(n_blocks):
+            t = f"layer{si + 1}.{b}"
+            name = f"layer{si + 1}_block{b + 1}"
+            blk_p: Dict[str, Any] = {
+                "conv1": {"Conv_0": _conv(state_dict[f"{t}.conv1.weight"])},
+                "conv2": {"Conv_0": _conv(state_dict[f"{t}.conv2.weight"])},
+            }
+            blk_s: Dict[str, Any] = {}
+            blk_p["bn1"], blk_s["bn1"] = _bn(state_dict, f"{t}.bn1")
+            blk_p["bn2"], blk_s["bn2"] = _bn(state_dict, f"{t}.bn2")
+            if f"{t}.downsample.0.weight" in state_dict:
+                blk_p["downsample_conv"] = {
+                    "Conv_0": _conv(state_dict[f"{t}.downsample.0.weight"])}
+                (blk_p["downsample_bn"],
+                 blk_s["downsample_bn"]) = _bn(state_dict, f"{t}.downsample.1")
+            params[name] = blk_p
+            stats[name] = blk_s
+    return {"params": params, "batch_stats": stats}
+
+
+def merge_params(base: Mapping[str, Any], overrides: Mapping[str, Any],
+                 strict_shapes: bool = True):
+    """Override a subset of a params pytree with converted weights.
+
+    Every override leaf must exist in ``base`` with the same shape —
+    catching a converter/model drift loudly instead of training from a
+    silently-partial init.  Returns a tree of base's structure (leaves cast
+    to base's dtypes).
+    """
+    import flax
+    import jax.numpy as jnp
+    unfrozen = flax.core.unfreeze(base)
+    flat_base = flax.traverse_util.flatten_dict(unfrozen)
+    flat_over = flax.traverse_util.flatten_dict(dict(overrides))
+    for key, val in flat_over.items():
+        if key not in flat_base:
+            raise KeyError(
+                f"init override {'/'.join(key)} not present in the model "
+                f"(model leaves: {sorted('/'.join(k) for k in flat_base)[:8]}...)")
+        if strict_shapes and tuple(flat_base[key].shape) != tuple(
+                np.shape(val)):
+            raise ValueError(
+                f"init override {'/'.join(key)}: shape "
+                f"{np.shape(val)} != model {tuple(flat_base[key].shape)}")
+        flat_base[key] = jnp.asarray(val, flat_base[key].dtype)
+    merged = flax.traverse_util.unflatten_dict(flat_base)
+    if isinstance(base, flax.core.FrozenDict):
+        return flax.core.freeze(merged)
+    return merged

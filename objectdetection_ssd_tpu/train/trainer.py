@@ -34,7 +34,13 @@ class Trainer:
                  mesh=None,
                  epoch_callback: Optional[Callable[[int, "Trainer"], None]]
                  = None,
-                 model=None, priors=None):
+                 model=None, priors=None,
+                 init_params=None, init_batch_stats=None):
+        """``init_params`` / ``init_batch_stats``: converted pretrained
+        weights (see models/convert.py) merged over the random init — the
+        reference's flagship recipe starts from a pretrained torchvision
+        trunk (`Model.py:131-161`).  Partial trees are fine (e.g. only
+        ``{"trunk": ...}``); every provided leaf must match the model."""
         setup_logging()
         self.config = config
         self.train_loader = train_loader
@@ -58,6 +64,15 @@ class Trainer:
             jax.numpy.float32)
         self.state: TrainState = create_train_state(
             self.model, rng, sample, config.optim, steps_per_epoch)
+        if init_params is not None:
+            from objectdetection_ssd_tpu.models.convert import merge_params
+            self.state = self.state.replace(
+                params=merge_params(self.state.params, init_params))
+        if init_batch_stats is not None:
+            from objectdetection_ssd_tpu.models.convert import merge_params
+            self.state = self.state.replace(
+                batch_stats=merge_params(self.state.batch_stats,
+                                         init_batch_stats))
         self.state = mesh_lib.replicate(self.state, self.mesh)
 
         self.train_step, self.eval_step = loop_lib.make_jitted_steps(

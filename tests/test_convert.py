@@ -218,3 +218,186 @@ def test_head_flatten_order_matches_torch():
     f_out = flatten_head(f_raw, C)
     np.testing.assert_allclose(np.asarray(f_out), t_out.numpy(),
                                atol=2e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# ResNet-34 trunk conversion (torchvision state_dict naming, hand-built here
+# because torchvision isn't installed in this image)
+# ---------------------------------------------------------------------------
+
+class _TorchBasicBlock(nn.Module):
+    def __init__(self, inp, out, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inp, out, 3, stride=stride, padding=1,
+                               bias=False)
+        self.bn1 = nn.BatchNorm2d(out)
+        self.conv2 = nn.Conv2d(out, out, 3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(out)
+        self.downsample = None
+        if stride != 1 or inp != out:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(inp, out, 1, stride=stride, bias=False),
+                nn.BatchNorm2d(out))
+
+    def forward(self, x):
+        idt = x
+        y = torch.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        if self.downsample is not None:
+            idt = self.downsample(x)
+        return torch.relu(y + idt)
+
+
+class _TorchResNet34(nn.Module):
+    """torchvision-resnet34-shaped module (state_dict key compatible)."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.maxpool = nn.MaxPool2d(3, 2, padding=1)
+        inp = 64
+        for si, (n, f) in enumerate(zip((3, 4, 6, 3), (64, 128, 256, 512))):
+            blocks = []
+            for b in range(n):
+                stride = 2 if (si > 0 and b == 0) else 1
+                blocks.append(_TorchBasicBlock(inp, f, stride))
+                inp = f
+            setattr(self, f"layer{si + 1}", nn.Sequential(*blocks))
+
+    def forward(self, x):
+        x = self.maxpool(torch.relu(self.bn1(self.conv1(x))))
+        for si in range(4):
+            x = getattr(self, f"layer{si + 1}")(x)
+        return x
+
+
+def test_resnet34_trunk_conversion_numerical_parity():
+    """Converted ResNet-34 trunk (params + BN running stats) reproduces the
+    torch trunk's eval-mode features."""
+    from objectdetection_ssd_tpu.models.backbones import ResNet34Trunk
+
+    torch.manual_seed(3)
+    tmodel = _TorchResNet34()
+    # Non-trivial BN running stats: a few train-mode passes.
+    tmodel.train()
+    with torch.no_grad():
+        for i in range(3):
+            tmodel(torch.randn(2, 3, 64, 64))
+    tmodel.eval()
+
+    tree = convert.resnet34_trunk_params(tmodel.state_dict())
+    trunk = ResNet34Trunk()
+    ref = trunk.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    ref_shapes = jax.tree_util.tree_map(lambda a: a.shape, ref["params"])
+    got_shapes = jax.tree_util.tree_map(lambda a: np.asarray(a).shape,
+                                        tree["params"])
+    assert ref_shapes == got_shapes
+
+    rng = np.random.default_rng(4)
+    x = rng.normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tmodel(torch.tensor(x)).numpy().transpose(0, 2, 3, 1)
+    f_out = trunk.apply({"params": tree["params"],
+                         "batch_stats": tree["batch_stats"]},
+                        jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(f_out), t_out,
+                               atol=2e-3, rtol=1e-3)
+
+
+def test_merge_params_strictness():
+    base = {"a": {"w": np.zeros((2, 2), np.float32)},
+            "b": {"w": np.ones((3,), np.float32)}}
+    merged = convert.merge_params(base, {"a": {"w": np.ones((2, 2))}})
+    np.testing.assert_array_equal(merged["a"]["w"], 1.0)
+    np.testing.assert_array_equal(merged["b"]["w"], 1.0)  # untouched
+    with pytest.raises(KeyError, match="nope"):
+        convert.merge_params(base, {"nope": {"w": np.zeros(1)}})
+    with pytest.raises(ValueError, match="shape"):
+        convert.merge_params(base, {"a": {"w": np.zeros((5, 5))}})
+
+
+@pytest.mark.slow
+def test_trainer_pretrained_vgg16_init_end_to_end(torch_state_dict,
+                                                  tmp_path):
+    """VERDICT item 2: the reference's flagship recipe — pretrained VGG
+    trunk into SSD300 training (`Model.py:131-161` + `train.py:43-59`) —
+    runs end-to-end: Trainer starts FROM the converted weights and one SGD
+    step moves the trunk away from them."""
+    import dataclasses
+    from objectdetection_ssd_tpu.config import (Config, DataConfig,
+                                                OptimConfig, TrainConfig)
+    from objectdetection_ssd_tpu.parallel import mesh as mesh_lib
+    from objectdetection_ssd_tpu.train.trainer import Trainer
+
+    _, sd = torch_state_dict
+    trunk_params = convert.vgg16_trunk_params(sd)
+    cfg = Config(
+        data=DataConfig(batch_size=1, num_workers=0),
+        optim=OptimConfig(lr=0.05, use_lr_schedule=False),
+        train=TrainConfig(seed=0, checkpoint_dir=str(tmp_path / "ck"),
+                          donate_state=False),
+    )
+
+    class _FakeLoader:
+        records = []
+
+        def __len__(self):
+            return 1
+
+    mesh = mesh_lib.create_mesh(devices=jax.devices()[:1])
+    trainer = Trainer(cfg, _FakeLoader(), mesh=mesh,
+                      init_params={"trunk": trunk_params})
+
+    got = np.asarray(trainer.state.params["trunk"]["conv1_1"]["Conv_0"]
+                     ["kernel"])
+    want = trunk_params["conv1_1"]["Conv_0"]["kernel"]
+    np.testing.assert_allclose(got, want, atol=1e-7)
+    got_fc6 = np.asarray(trainer.state.params["trunk"]["conv_fc6"]["Conv_0"]
+                         ["kernel"])
+    np.testing.assert_allclose(got_fc6,
+                               trunk_params["conv_fc6"]["Conv_0"]["kernel"],
+                               atol=1e-7)
+
+    rng = np.random.default_rng(7)
+    batch = {
+        "images": rng.normal(0, 1, (1, 300, 300, 3)).astype(np.float32),
+        "boxes": np.asarray([[[0.2, 0.2, 0.8, 0.8]]], np.float32),
+        "classes": np.asarray([[5]], np.int32),
+        "mask": np.ones((1, 1), bool),
+    }
+    batch = mesh_lib.shard_batch(batch, mesh)
+    new_state, metrics = trainer.train_step(trainer.state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    moved = np.asarray(new_state.params["trunk"]["conv1_1"]["Conv_0"]
+                       ["kernel"])
+    assert not np.allclose(moved, want)
+
+
+def test_cli_init_flag_loading(torch_state_dict, tmp_path):
+    import argparse
+    from objectdetection_ssd_tpu import cli
+    from objectdetection_ssd_tpu.config import Config
+
+    _, sd = torch_state_dict
+    path = tmp_path / "vgg16.pth"
+    torch.save(dict(sd), str(path))
+
+    ns = argparse.Namespace(init_torch_vgg16=str(path),
+                            init_torch_resnet34=None,
+                            init_reference_ckpt=None)
+    init_params, init_stats = cli._load_init_weights(ns, Config())
+    assert init_stats is None
+    assert "conv1_1" in init_params["trunk"]
+    assert init_params["trunk"]["conv_fc6"]["Conv_0"]["kernel"].shape == (
+        3, 3, 512, 1024)
+
+    from objectdetection_ssd_tpu.config import ModelConfig
+    bad_cfg = Config(model=ModelConfig(backbone="resnet34"))
+    with pytest.raises(SystemExit, match="vgg16"):
+        cli._load_init_weights(ns, bad_cfg)
+
+    ns_none = argparse.Namespace(init_torch_vgg16=None,
+                                 init_torch_resnet34=None,
+                                 init_reference_ckpt=None)
+    assert cli._load_init_weights(ns_none, Config()) == (None, None)
