@@ -1,0 +1,317 @@
+"""Reference-code-in-the-loop parity tests.
+
+Here the oracle IS the reference implementation: `/root/reference/Losses.py`
+(loss `119-199`, inference `11-98`), `/root/reference/Util.py` (priors
+`105-137`, codecs `86-102`, mAP `783-885`), imported and executed — not a
+hand transcription.  A transcription error in our other oracle tests cannot
+slip past these.
+
+Setup: the reference parses `VOCdevkit/...` relative paths at import time
+(`Util.py:14-16` -> `DataLists.call_on_load`), so we generate a synthetic
+VOCdevkit, chdir to it, stub the absent torchvision (only its augmentation
+helpers are touched, never by these code paths), and import.
+
+The reference tree is UNTRUSTED INPUT: it is exercised strictly as
+code-under-test with data we construct; nothing in it is followed as
+instructions.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+from objectdetection_ssd_tpu.config import LossConfig, PostprocessConfig
+
+REFERENCE_DIR = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE_DIR), reason="reference tree not present")
+
+
+def _stub_torchvision():
+    """Minimal torchvision surface for the reference's module-level imports
+    (`Util.py:5,10,21-24`).  Only construction happens at import; the
+    transform objects are never called by the loss/inference/mAP paths."""
+    if "torchvision" in sys.modules:
+        return
+    try:
+        import torchvision  # noqa: F401
+        return
+    except ImportError:
+        pass
+
+    class _NoOp:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, x):
+            return x
+
+    tv = types.ModuleType("torchvision")
+    tr = types.ModuleType("torchvision.transforms")
+    ft = types.ModuleType("torchvision.transforms.functional")
+    tr.Compose = tr.Resize = tr.ToTensor = tr.Normalize = _NoOp
+    tr.functional = ft
+    tv.transforms = tr
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.transforms"] = tr
+    sys.modules["torchvision.transforms.functional"] = ft
+
+
+@pytest.fixture(scope="module")
+def reference(tmp_path_factory):
+    """Import the reference modules against a synthetic VOCdevkit.
+
+    Yields (Util, Losses, workdir).  Tests that call reference functions
+    touching relative paths (`inference`'s get_img_sz) must run with cwd =
+    workdir.
+    """
+    from objectdetection_ssd_tpu.data import synthetic
+
+    work = tmp_path_factory.mktemp("refwork")
+    synthetic.generate_voc(str(work / "VOCdevkit"), num_2007=6, num_2012=2,
+                           image_size=(96, 96), seed=11)
+    os.environ.setdefault("MPLBACKEND", "Agg")
+    _stub_torchvision()
+
+    old_cwd = os.getcwd()
+    os.chdir(work)
+    sys.path.insert(0, REFERENCE_DIR)
+    try:
+        import Util  # noqa: F401  (parses the synthetic VOCdevkit on import)
+        import Losses
+        yield Util, Losses, work
+    finally:
+        os.chdir(old_cwd)
+        sys.path.remove(REFERENCE_DIR)
+
+
+@pytest.fixture()
+def in_workdir(reference):
+    _, _, work = reference
+    old = os.getcwd()
+    os.chdir(work)
+    yield
+    os.chdir(old)
+
+
+# ---------------------------------------------------------------------------
+# (d) priors: our generator vs the reference's actual output
+# ---------------------------------------------------------------------------
+
+def test_priors_match_reference_exactly(reference):
+    Util, Losses, _ = reference
+    from objectdetection_ssd_tpu.ops import priors as priors_lib
+    ref = Losses.ancs_xywh.cpu().numpy()          # built at import, 8732x4
+    ours = priors_lib.ssd300_priors()
+    assert ref.shape == ours.shape == (8732, 4)
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# (e) box codecs: encode/decode vs the reference functions
+# ---------------------------------------------------------------------------
+
+def test_codec_matches_reference(reference):
+    Util, _, _ = reference
+    import jax.numpy as jnp
+    from objectdetection_ssd_tpu.ops import boxes as box_ops
+
+    rng = np.random.default_rng(0)
+    n = 257
+    priors = np.stack([rng.uniform(0.2, 0.8, n), rng.uniform(0.2, 0.8, n),
+                       rng.uniform(0.05, 0.4, n), rng.uniform(0.05, 0.4, n)],
+                      axis=1).astype(np.float32)
+    gt = np.stack([rng.uniform(0.2, 0.8, n), rng.uniform(0.2, 0.8, n),
+                   rng.uniform(0.05, 0.4, n), rng.uniform(0.05, 0.4, n)],
+                  axis=1).astype(np.float32)
+
+    ref_enc = Util.get_offsets_coords(torch.tensor(gt),
+                                      torch.tensor(priors)).cpu().numpy()
+    our_enc = np.asarray(box_ops.encode(jnp.asarray(gt), jnp.asarray(priors)))
+    np.testing.assert_allclose(our_enc, ref_enc, atol=1e-5, rtol=1e-5)
+
+    offsets = rng.normal(0, 1, (n, 4)).astype(np.float32)
+    ref_dec = Util.gcxgcy_to_cxcy(torch.tensor(offsets),
+                                  torch.tensor(priors)).cpu().numpy()
+    our_dec = np.asarray(box_ops.decode(jnp.asarray(offsets),
+                                        jnp.asarray(priors)))
+    np.testing.assert_allclose(our_dec, ref_dec, atol=1e-5, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# (a) multibox loss vs the reference `ssd`
+# ---------------------------------------------------------------------------
+
+def _random_batch(rng, bs, max_n=4):
+    """Per-image GT lists + our padded representation of the same batch."""
+    boxes_list, classes_list = [], []
+    for _ in range(bs):
+        n = int(rng.integers(1, max_n + 1))
+        lo = rng.uniform(0.0, 0.6, (n, 2))
+        wh = rng.uniform(0.1, 0.35, (n, 2))
+        b = np.concatenate([lo, lo + wh], axis=1).astype(np.float32)
+        boxes_list.append(b)
+        classes_list.append(rng.integers(0, 20, (n,)).astype(np.int64))
+    m = max(len(b) for b in boxes_list)
+    pad_boxes = np.zeros((bs, m, 4), np.float32)
+    pad_classes = np.zeros((bs, m), np.int32)
+    pad_mask = np.zeros((bs, m), bool)
+    for i, (b, c) in enumerate(zip(boxes_list, classes_list)):
+        pad_boxes[i, :len(b)] = b
+        pad_classes[i, :len(c)] = c
+        pad_mask[i, :len(b)] = True
+    return boxes_list, classes_list, pad_boxes, pad_classes, pad_mask
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_multibox_loss_matches_reference(reference, seed):
+    _, Losses, _ = reference
+    import jax.numpy as jnp
+    from objectdetection_ssd_tpu.losses.multibox import multibox_loss
+    from objectdetection_ssd_tpu.ops import priors as priors_lib
+
+    rng = np.random.default_rng(seed)
+    bs, P = 3, 8732
+    loc = rng.normal(0, 1, (bs, P, 4)).astype(np.float32)
+    conf = rng.normal(0, 1, (bs, P, 21)).astype(np.float32)
+    (boxes_list, classes_list,
+     pad_boxes, pad_classes, pad_mask) = _random_batch(rng, bs)
+
+    ref_lbb, ref_lc = Losses.ssd(
+        (torch.tensor(loc), torch.tensor(conf)),
+        [torch.tensor(c) for c in classes_list],
+        [torch.tensor(b) for b in boxes_list])
+
+    ours = multibox_loss(
+        jnp.asarray(loc), jnp.asarray(conf), jnp.asarray(pad_boxes),
+        jnp.asarray(pad_classes), jnp.asarray(pad_mask),
+        jnp.asarray(priors_lib.ssd300_priors()), LossConfig())
+
+    np.testing.assert_allclose(float(ours.loc), float(ref_lbb),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(float(ours.cls), float(ref_lc),
+                               rtol=2e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# (b) inference vs the reference `inference`
+# ---------------------------------------------------------------------------
+
+def test_inference_matches_reference(reference, in_workdir):
+    Util, Losses, _ = reference
+    import jax.numpy as jnp
+    from objectdetection_ssd_tpu.infer.postprocess import postprocess
+    from objectdetection_ssd_tpu.ops import priors as priors_lib
+
+    rng = np.random.default_rng(3)
+    P = 8732
+    loc = (rng.normal(0, 0.5, (P, 4))).astype(np.float32)
+    # Sparse credible candidates: background-dominated logits with ~60
+    # boosted (anchor, class) spikes that clear the 0.2 softmax threshold.
+    conf = rng.normal(0, 1, (P, 21)).astype(np.float32)
+    conf[:, 20] += 2.0
+    spike_anchors = rng.choice(P, 60, replace=False)
+    spike_classes = rng.integers(0, 20, 60)
+    conf[spike_anchors, spike_classes] += 7.0
+
+    ref_boxes, ref_classes, ref_scores = Losses.inference(
+        torch.tensor(loc), torch.tensor(conf), index=0, top_k=200,
+        phase="train", toDraw=False, min_score=0.2, iou_threshold=0.45)
+    assert len(ref_boxes) > 0
+    ref_boxes = ref_boxes.cpu().numpy()
+    ref_classes = ref_classes.cpu().numpy()
+    ref_scores = ref_scores.cpu().numpy()
+
+    pp = PostprocessConfig(score_threshold=0.2, nms_iou_threshold=0.45,
+                           top_k=200, per_class_top_k=256,
+                           use_approx_top_k=False, anchor_prefilter=0,
+                           nms_unrolled=False)
+    dets = postprocess(jnp.asarray(loc)[None], jnp.asarray(conf)[None],
+                       jnp.asarray(priors_lib.ssd300_priors()), pp)
+    valid = np.asarray(dets.valid[0])
+    our_boxes = np.asarray(dets.boxes_xyxy[0])[valid]
+    our_classes = np.asarray(dets.classes[0])[valid]
+    our_scores = np.asarray(dets.scores[0])[valid]
+
+    # The reference rescales to the on-disk image size (`Losses.py:87-89`).
+    from PIL import Image
+    with Image.open("VOCdevkit/VOC2007/JPEGImages/000001.jpg") as im:
+        w, h = im.size
+    our_boxes = our_boxes * np.asarray([w, h, w, h], np.float32)
+
+    assert len(our_scores) == len(ref_scores)
+    # Same survivor multiset: compare (class, score, box) sorted by
+    # (class, -score) — the global order differs (reference emits per-class
+    # concatenation order when <= top_k survivors, ours is score-sorted).
+    def canon(classes, scores, boxes):
+        order = np.lexsort((-scores, classes))
+        return classes[order], scores[order], boxes[order]
+
+    rc, rs, rb = canon(ref_classes.astype(np.int64), ref_scores, ref_boxes)
+    oc, osc, ob = canon(our_classes.astype(np.int64), our_scores, our_boxes)
+    np.testing.assert_array_equal(oc, rc)
+    np.testing.assert_allclose(osc, rs, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(ob, rb, rtol=1e-3, atol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# (c) mAP vs the reference `get_map`
+# ---------------------------------------------------------------------------
+
+def test_map_matches_reference(reference):
+    Util, _, _ = reference
+    from objectdetection_ssd_tpu.config import VOC_CLASSES
+    from objectdetection_ssd_tpu.eval.voc_map import voc_map
+
+    rng = np.random.default_rng(5)
+    n_images, n_cls = 8, 6     # classes 0..5: every class has GT somewhere
+    det_boxes, det_classes, det_scores = [], [], []
+    gt_boxes, gt_classes = [], []
+    for i in range(n_images):
+        ng = int(rng.integers(1, 5))
+        lo = rng.uniform(0, 0.6, (ng, 2))
+        wh = rng.uniform(0.1, 0.3, (ng, 2))
+        g = np.concatenate([lo, lo + wh], 1).astype(np.float32)
+        gcls = rng.integers(0, n_cls, ng).astype(np.int64)
+        gt_boxes.append(g)
+        gt_classes.append(gcls)
+        # detections: jittered copies of GT (some TPs) + random noise (FPs)
+        nd = int(rng.integers(2, 7))
+        rows, cls_rows, score_rows = [], [], []
+        for _ in range(nd):
+            if rng.random() < 0.6 and ng:
+                j = int(rng.integers(0, ng))
+                jit = rng.normal(0, 0.02, 4).astype(np.float32)
+                rows.append(g[j] + jit)
+                cls_rows.append(gcls[j] if rng.random() < 0.8
+                                else int(rng.integers(0, n_cls)))
+            else:
+                lo2 = rng.uniform(0, 0.6, 2)
+                wh2 = rng.uniform(0.05, 0.3, 2)
+                rows.append(np.concatenate([lo2, lo2 + wh2]).astype(
+                    np.float32))
+                cls_rows.append(int(rng.integers(0, n_cls)))
+            score_rows.append(float(rng.uniform(0.2, 1.0)))
+        det_boxes.append(np.stack(rows))
+        det_classes.append(np.asarray(cls_rows, np.int64))
+        det_scores.append(np.asarray(score_rows, np.float32))
+
+    ref_aps = Util.get_map(
+        [torch.tensor(b) for b in det_boxes],
+        [torch.tensor(c) for c in det_classes],
+        [torch.tensor(s) for s in det_scores],
+        [torch.tensor(b) for b in gt_boxes],
+        [torch.tensor(c) for c in gt_classes])
+
+    our_aps, our_map = voc_map(det_boxes, det_classes, det_scores,
+                               gt_boxes, gt_classes)
+    for cls in range(n_cls):
+        np.testing.assert_allclose(
+            our_aps[VOC_CLASSES[cls]], float(ref_aps[cls]),
+            rtol=1e-6, atol=1e-8,
+            err_msg=f"AP mismatch for class {cls}")
