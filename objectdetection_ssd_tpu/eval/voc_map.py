@@ -13,9 +13,14 @@ Reference semantics reproduced (`get_map`, `Util.py:783-885`):
     dataset does (`Dataset.py:29-31`); standard-VOC "ignore difficult"
     matching is available via ``difficulties`` for completeness.
 
-Host-side numpy (evaluation is not a device hot path); the per-class inner
-loop is vectorized down to the sequential greedy claim, which is inherently
-order-dependent.
+Host-side numpy (evaluation is not a device hot path), fully vectorized:
+the reference's per-detection Python loop (`Util.py:835-868`) is millions of
+iterations at VOC scale.  Its sequential greedy claim collapses exactly —
+each detection is only ever compared against its single best-IoU GT
+(`Util.py:855-856`), so "greedy in score order" is precisely "the
+first-by-score detection per (image, best-GT) pair is the TP, every other
+above-threshold match of that pair is FP", which is one `np.unique` over
+sorted keys.
 """
 
 from __future__ import annotations
@@ -72,14 +77,21 @@ def voc_map(det_boxes: Sequence[np.ndarray],
     n_images = len(det_boxes)
     aps: Dict[str, float] = {}
 
+    # Normalize inputs once (not per class).
+    det_classes = [np.asarray(c).reshape(-1) for c in det_classes]
+    det_boxes = [np.asarray(b, np.float32).reshape(-1, 4) for b in det_boxes]
+    det_scores = [np.asarray(s, np.float32).reshape(-1) for s in det_scores]
+    gt_classes_np = [np.asarray(c).reshape(-1) for c in gt_classes]
+    gt_boxes_np = [np.asarray(b, np.float32).reshape(-1, 4) for b in gt_boxes]
+
     for cls in range(NUM_CLASSES):
-        # Gather this class's GT per image + claim bookkeeping.
+        # Gather this class's GT per image.
         gt_per_image: List[np.ndarray] = []
         ignore_per_image: List[np.ndarray] = []
         n_positive = 0
         for i in range(n_images):
-            sel = np.asarray(gt_classes[i]) == cls
-            g = np.asarray(gt_boxes[i], np.float32).reshape(-1, 4)[sel]
+            sel = gt_classes_np[i] == cls
+            g = gt_boxes_np[i][sel]
             gt_per_image.append(g)
             if difficulties is not None:
                 ign = np.asarray(difficulties[i], bool)[sel]
@@ -87,40 +99,75 @@ def voc_map(det_boxes: Sequence[np.ndarray],
                 ign = np.zeros(len(g), bool)
             ignore_per_image.append(ign)
             n_positive += int((~ign).sum())
-        claimed = [np.zeros(len(g), bool) for g in gt_per_image]
 
-        # Pool + sort this class's detections.
-        rows = []
-        for i in range(n_images):
-            sel = np.asarray(det_classes[i]) == cls
-            b = np.asarray(det_boxes[i], np.float32).reshape(-1, 4)[sel]
-            s = np.asarray(det_scores[i], np.float32).reshape(-1)[sel]
-            for j in range(len(b)):
-                rows.append((i, s[j], b[j]))
-        if not rows:
+        # Pool + score-sort this class's detections (stable sort = the
+        # reference's pooled-order tiebreak, `Util.py:828-830`).
+        sel_per_image = [det_classes[i] == cls for i in range(n_images)]
+        imgs = np.concatenate(
+            [np.full(int(s.sum()), i, np.int64)
+             for i, s in enumerate(sel_per_image)] or [np.zeros(0, np.int64)])
+        if len(imgs) == 0:
             aps[VOC_CLASSES[cls]] = 0.0
             continue
-        rows.sort(key=lambda r: -r[1])
+        boxes = np.concatenate(
+            [det_boxes[i][s] for i, s in enumerate(sel_per_image)])
+        scores = np.concatenate(
+            [det_scores[i][s] for i, s in enumerate(sel_per_image)])
+        order = np.argsort(-scores, kind="stable")
+        imgs, boxes = imgs[order], boxes[order]
+        n = len(imgs)
 
-        tp = np.zeros(len(rows), np.float64)
-        fp = np.zeros(len(rows), np.float64)
-        for d, (img, _score, box) in enumerate(rows):
-            g = gt_per_image[img]
-            if len(g) == 0:
-                fp[d] = 1.0
-                continue
-            iou = _iou_matrix(box[None], g)[0]
-            best = int(iou.argmax())
-            if iou[best] > iou_threshold:
-                if ignore_per_image[img][best]:
-                    continue                      # ignored GT: no TP, no FP
-                if not claimed[img][best]:
-                    tp[d] = 1.0
-                    claimed[img][best] = True
-                else:
-                    fp[d] = 1.0
-            else:
-                fp[d] = 1.0
+        # Best-IoU GT per detection in ONE vectorized op (`Util.py:855-856`
+        # computes this one detection at a time): pad each image's class-GT
+        # to maxG rows, gather per detection, mask pads to IoU -1 (they can
+        # never win, and an all-pad row yields best_iou=-1 -> FP).  Valid GT
+        # stay at the front per image, so argmax tie-breaking (first
+        # occurrence) is unchanged.
+        best_iou = np.full(n, -1.0, np.float32)
+        best_gt = np.zeros(n, np.int64)
+        maxg = max((len(g) for g in gt_per_image), default=0)
+        if maxg:
+            gt_pad = np.zeros((n_images, maxg, 4), np.float32)
+            gt_valid = np.zeros((n_images, maxg), bool)
+            for i, g in enumerate(gt_per_image):
+                gt_pad[i, :len(g)] = g
+                gt_valid[i, :len(g)] = True
+            g_sel = gt_pad[imgs]                       # (n, maxG, 4)
+            lo = np.maximum(boxes[:, None, :2], g_sel[..., :2])
+            hi = np.minimum(boxes[:, None, 2:], g_sel[..., 2:])
+            wh = np.clip(hi - lo, 0, None)
+            inter = wh[..., 0] * wh[..., 1]
+            area_d = ((boxes[:, 2] - boxes[:, 0])
+                      * (boxes[:, 3] - boxes[:, 1]))[:, None]
+            area_g = ((g_sel[..., 2] - g_sel[..., 0])
+                      * (g_sel[..., 3] - g_sel[..., 1]))
+            iou = inter / (area_d + area_g - inter)
+            iou = np.where(gt_valid[imgs], iou, -1.0)
+            best_iou = iou.max(axis=1)
+            best_gt = iou.argmax(axis=1)
+
+        # Greedy claim, vectorized: a detection is only ever matched to its
+        # best-IoU GT, so the first (highest-score) above-threshold match of
+        # each (image, gt) pair is the TP; later matches of the same pair
+        # are FP; sub-threshold detections are FP; matches to ignored GT
+        # are neither (`continue` in the scalar formulation).
+        tp = np.zeros(n, np.float64)
+        fp = np.zeros(n, np.float64)
+        over = best_iou > iou_threshold
+        ign_match = np.zeros(n, bool)
+        if difficulties is not None and over.any():
+            idx = np.flatnonzero(over)
+            ign_match[idx] = np.asarray(
+                [ignore_per_image[imgs[d]][best_gt[d]] for d in idx])
+        fp[~over] = 1.0
+        cand = np.flatnonzero(over & ~ign_match)
+        if len(cand):
+            max_gt = int(best_gt[cand].max()) + 1
+            keys = imgs[cand] * max_gt + best_gt[cand]
+            _, first = np.unique(keys, return_index=True)
+            fp[cand] = 1.0
+            tp[cand[first]] = 1.0
+            fp[cand[first]] = 0.0
 
         cum_tp = tp.cumsum()
         cum_fp = fp.cumsum()
