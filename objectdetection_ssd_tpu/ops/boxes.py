@@ -108,3 +108,33 @@ def decode_tanh(pred: jnp.ndarray, priors_cxcywh: jnp.ndarray,
     xy = t[..., :2] / 2.0 * gs + priors_cxcywh[..., :2]
     wh = (t[..., 2:] / 2.0 + 1.0) * priors_cxcywh[..., 2:]
     return jnp.concatenate([xy, wh], axis=-1)
+
+
+def mixed_class_nms(boxes_xyxy: jnp.ndarray, classes: jnp.ndarray,
+                    probs: jnp.ndarray,
+                    overlap_threshold: float = 0.5) -> jnp.ndarray:
+    """Single-pass vectorized NMS over a MIXED-class detection set.
+
+    Reproduces the suppression rule of the reference's standalone `nms`
+    (`Util.py:519-553`, dead code there — never called by `inference`): a
+    box is suppressed iff some OTHER box of the same class overlaps it with
+    IoU > threshold and has greater-or-equal probability (ties suppress both
+    sides, exactly as the reference's two `where` clauses do; the diagonal
+    is excluded via its `fill_diagonal_(0.01)`).  Returns the KEEP mask —
+    the reference then inverts this mask before drawing (`Util.py:546-548`),
+    which is a bug in its notebook cruft, not a semantic we reproduce.
+
+    Unlike greedy NMS this is one fused comparison, no sequential
+    dependency: O(n^2) elementwise work, single XLA kernel.
+
+    Args: boxes_xyxy (..., n, 4); classes (..., n) int; probs (..., n).
+    Returns: (..., n) bool keep mask.
+    """
+    iou = pairwise_iou(boxes_xyxy, boxes_xyxy)
+    n = boxes_xyxy.shape[-2]
+    eye = jnp.eye(n, dtype=bool)
+    over = jnp.logical_and(iou > overlap_threshold, ~eye)
+    same = classes[..., :, None] == classes[..., None, :]
+    geq = probs[..., None, :] >= probs[..., :, None]   # prob_j >= prob_i
+    removed = jnp.any(over & same & geq, axis=-1)
+    return ~removed

@@ -67,3 +67,49 @@ def test_focal_loss_golden():
     want = float(np.mean(w * bce))
     np.testing.assert_allclose(float(focal_loss(logits, targets)), want,
                                rtol=1e-5)
+
+
+def test_mixed_class_nms_matches_reference_mask_math():
+    """Parity with the reference's standalone vectorized NMS
+    (`Util.py:519-553`): its removed set is the union of
+      where(iou & same_class & (prob_i < prob_j))[0]   (rows)
+      where(iou & same_class & ~(prob_i < prob_j))[1]  (cols)
+    with the diagonal neutralized via fill_diagonal_(0.01).  We transcribe
+    exactly that mask math in torch on random inputs and compare."""
+    import torch
+    from objectdetection_ssd_tpu.ops.boxes import (cxcywh_to_xyxy,
+                                                   mixed_class_nms)
+
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        n = 40
+        ctr = rng.uniform(0.2, 0.8, (n, 2))
+        wh = rng.uniform(0.1, 0.5, (n, 2))
+        boxes_cxcywh = np.concatenate([ctr, wh], 1).astype(np.float32)
+        classes = rng.integers(0, 4, n)
+        probs = rng.uniform(0, 1, n).astype(np.float32)
+        thr = 0.3
+
+        # --- reference mask math (Util.py:524-543), torch transcription ---
+        t_xyxy = torch.tensor(np.asarray(
+            cxcywh_to_xyxy(jnp.asarray(boxes_cxcywh))))
+        lo = torch.max(t_xyxy[:, None, :2], t_xyxy[None, :, :2])
+        hi = torch.min(t_xyxy[:, None, 2:], t_xyxy[None, :, 2:])
+        inter = torch.clamp(hi - lo, min=0).prod(-1)
+        area = ((t_xyxy[:, 2] - t_xyxy[:, 0])
+                * (t_xyxy[:, 3] - t_xyxy[:, 1]))
+        iou_val = inter / (area[:, None] + area[None, :] - inter)
+        iou_val.fill_diagonal_(0.01)
+        t_probs = torch.tensor(probs).view(1, n)
+        t_cl = torch.tensor(classes.astype(np.float32)).view(1, n)
+        iou = iou_val > thr
+        same = (t_cl - t_cl.transpose(0, 1)) == 0
+        iltj = ((t_probs.transpose(0, 1) - t_probs) < 0)
+        removed = set(torch.where(iou & same & iltj)[0].tolist())
+        removed |= set(torch.where(iou & same & ~iltj)[1].tolist())
+
+        keep = np.asarray(mixed_class_nms(
+            jnp.asarray(cxcywh_to_xyxy(jnp.asarray(boxes_cxcywh))),
+            jnp.asarray(classes), jnp.asarray(probs), thr))
+        got_removed = set(np.flatnonzero(~keep).tolist())
+        assert got_removed == removed, f"trial {trial}"
