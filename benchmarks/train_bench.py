@@ -26,7 +26,7 @@ def main() -> int:
     from objectdetection_ssd_tpu.train import loop as loop_lib
     from objectdetection_ssd_tpu.train.state import create_train_state
 
-    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     on_tpu = jax.devices()[0].platform != "cpu"
     dtype = "bfloat16" if on_tpu else "float32"
 

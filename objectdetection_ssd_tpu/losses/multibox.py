@@ -46,6 +46,24 @@ def _cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return logz - gold
 
 
+def _cross_entropy_class_major(logits: jnp.ndarray, labels: jnp.ndarray
+                               ) -> jnp.ndarray:
+    """Per-anchor CE; logits (B, P, C), labels (B, P) -> (B, P).
+
+    TPU layout: a (B, P, 21) tensor tiles its trailing class dim onto the
+    128 vector lanes at 16% utilization, and the per-anchor label gather is
+    scalar-unit work.  Transposing once to (B, C, P) puts the big P axis on
+    the lanes; logsumexp reduces over the short sublane class axis and the
+    gather becomes a one-hot masked reduce — every op full-width.
+    """
+    c = logits.shape[-1]
+    lt = jnp.swapaxes(logits, 1, 2)                       # (B, C, P)
+    logz = jax.nn.logsumexp(lt, axis=1)                   # (B, P)
+    onehot = labels[:, None, :] == jnp.arange(c)[None, :, None]
+    gold = jnp.sum(jnp.where(onehot, lt, 0.0), axis=1)    # (B, P)
+    return logz - gold
+
+
 def multibox_loss(pred_offsets: jnp.ndarray,
                   pred_logits: jnp.ndarray,
                   gt_boxes_xyxy: jnp.ndarray,
@@ -77,31 +95,42 @@ def multibox_loss(pred_offsets: jnp.ndarray,
     pos_f = pos.astype(pred_offsets.dtype)
 
     # ---- localization (`Losses.py:181-182`) -------------------------------
+    # Computed in coordinate-major (B, 4, P) layout: trailing-dim-4 tensors
+    # tile 4/128 vector lanes, so the whole encode+L1 runs as four (B, P)
+    # full-width planes instead.
+    #
     # Negative priors' matched boxes can be degenerate zero-area pads (e.g.
-    # an image whose objects were all filtered out), where encode's log()
-    # would produce inf and inf * 0-mask = NaN.  Substitute the prior itself
+    # an image whose objects were all filtered out), where the log() would
+    # produce inf and inf * 0-mask = NaN.  Substitute the prior itself
     # (zero offsets) wherever the prior is background — those rows never
     # contribute to the masked sum.
-    matched_cxcywh = jnp.where(
-        pos[..., None], box_ops.xyxy_to_cxcywh(match.matched_box),
-        priors_cxcywh[None])
-    target_offsets = box_ops.encode(
-        matched_cxcywh, priors_cxcywh[None],
-        center_variance_inv=config.center_variance_inv,
-        size_variance_inv=config.size_variance_inv)        # (B, P, 4)
-    diff = pred_offsets - target_offsets
+    mb = jnp.swapaxes(match.matched_box, 1, 2)             # (B, 4, P)
+    gx1, gy1, gx2, gy2 = mb[:, 0], mb[:, 1], mb[:, 2], mb[:, 3]
+    pcx, pcy, pw, ph = (priors_cxcywh[None, :, i] for i in range(4))  # (1,P)
+    cx = jnp.where(pos, (gx1 + gx2) * 0.5, pcx)
+    cy = jnp.where(pos, (gy1 + gy2) * 0.5, pcy)
+    w = jnp.where(pos, gx2 - gx1, pw)
+    h = jnp.where(pos, gy2 - gy1, ph)
+    cvar, svar = config.center_variance_inv, config.size_variance_inv
+    target = jnp.stack([
+        (cx - pcx) * cvar / pw,
+        (cy - pcy) * cvar / ph,
+        jnp.log(w / pw) * svar,
+        jnp.log(h / ph) * svar,
+    ], axis=1)                                             # (B, 4, P)
+    diff = jnp.swapaxes(pred_offsets, 1, 2) - target
     if config.loc_loss == "huber":
         elt = jnp.where(jnp.abs(diff) < 1.0, 0.5 * diff * diff,
                         jnp.abs(diff) - 0.5)
     else:
         elt = jnp.abs(diff)
     # nn.L1Loss() means over the gathered (N_pos, 4) tensor -> sum / (4*N_pos)
-    loc_sum = jnp.sum(elt * pos_f[..., None])
+    loc_sum = jnp.sum(elt * pos_f[:, None, :])
     safe_pos = jnp.maximum(num_pos, 1)
     loc_loss = loc_sum / (4.0 * safe_pos)
 
     # ---- classification with hard negative mining (`Losses.py:184-197`) ---
-    cce = _cross_entropy(pred_logits, match.matched_class)  # (B, P)
+    cce = _cross_entropy_class_major(pred_logits, match.matched_class)
     pos_loss_sum = jnp.sum(cce * pos_f)
 
     neg_cce = jnp.where(pos, 0.0, cce)

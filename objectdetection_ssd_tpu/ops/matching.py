@@ -46,6 +46,25 @@ class MatchResult(NamedTuple):
     matched_obj: jnp.ndarray
 
 
+def _iou_gt_priors(gt_boxes_xyxy: jnp.ndarray,
+                   priors_xyxy: jnp.ndarray) -> jnp.ndarray:
+    """(M, 4) x (P, 4) -> (M, P) IoU, coordinate-separated.
+
+    TPU layout note: `pairwise_iou` builds (M, P, 2) intermediates whose
+    trailing dim of 2 pads to the 128-lane tile (2/128 utilization).  Keeping
+    every intermediate (M, P) with P minormost runs the vector units at full
+    width — this is the matcher's hot tensor (B x M x P ~ 27M entries/step).
+    """
+    ax1, ay1, ax2, ay2 = (gt_boxes_xyxy[:, i:i + 1] for i in range(4))  # (M,1)
+    bx1, by1, bx2, by2 = (priors_xyxy[None, :, i] for i in range(4))    # (1,P)
+    ix = jnp.clip(jnp.minimum(ax2, bx2) - jnp.maximum(ax1, bx1), 0.0)
+    iy = jnp.clip(jnp.minimum(ay2, by2) - jnp.maximum(ay1, by1), 0.0)
+    inter = ix * iy                                             # (M, P)
+    area_a = (ax2 - ax1) * (ay2 - ay1)                          # (M, 1)
+    area_b = (bx2 - bx1) * (by2 - by1)                          # (1, P)
+    return inter / (area_a + area_b - inter)
+
+
 def match_single(gt_boxes_xyxy: jnp.ndarray, gt_classes: jnp.ndarray,
                  gt_mask: jnp.ndarray, priors_xyxy: jnp.ndarray,
                  iou_threshold: float = 0.5) -> MatchResult:
@@ -60,7 +79,7 @@ def match_single(gt_boxes_xyxy: jnp.ndarray, gt_classes: jnp.ndarray,
     """
     num_gt = gt_boxes_xyxy.shape[0]
 
-    iou = box_ops.pairwise_iou(gt_boxes_xyxy, priors_xyxy)      # (M, P)
+    iou = _iou_gt_priors(gt_boxes_xyxy, priors_xyxy)            # (M, P)
     iou = jnp.where(gt_mask[:, None], iou, -1.0)
 
     # 1. per-prior best object (`Losses.py:153`).
@@ -81,13 +100,22 @@ def match_single(gt_boxes_xyxy: jnp.ndarray, gt_classes: jnp.ndarray,
     obj_per_prior = jnp.where(forced, claimant, obj_per_prior)
     overlap_per_prior = jnp.where(forced, 1.0, overlap_per_prior)
 
-    # 3. background where below threshold (`Losses.py:171`).
+    # 3. background where below threshold (`Losses.py:171`), and the matched
+    # box/class per prior.  A (P,)-indexed gather from M rows is scalar-unit
+    # work on TPU; the one-hot contraction below does the same select at
+    # full lane width (class via masked reduce over M, box via a tiny
+    # (P, M) @ (M, 4) einsum on the MXU).
+    onehot_obj = (obj_per_prior[None, :] ==
+                  jnp.arange(num_gt)[:, None])                  # (M, P)
+    matched_class = jnp.max(
+        jnp.where(onehot_obj, gt_classes[:, None].astype(jnp.int32),
+                  jnp.int32(0)), axis=0)
     matched_class = jnp.where(
         overlap_per_prior < iou_threshold,
-        jnp.int32(BACKGROUND_CLASS),
-        gt_classes[obj_per_prior].astype(jnp.int32))
+        jnp.int32(BACKGROUND_CLASS), matched_class)
 
-    matched_box = gt_boxes_xyxy[obj_per_prior]
+    matched_box = jnp.einsum(
+        "mp,mc->pc", onehot_obj.astype(gt_boxes_xyxy.dtype), gt_boxes_xyxy)
     return MatchResult(matched_class, matched_box, overlap_per_prior,
                        obj_per_prior.astype(jnp.int32))
 
