@@ -194,6 +194,17 @@ def cmd_detect(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    from objectdetection_ssd_tpu.infer.export import export_detector
+    cfg = build_config(args)
+    params, batch_stats = _restore_params(cfg, args.allow_random_init)
+    out = export_detector(cfg, params, args.out_dir,
+                          batch_size=args.serve_batch_size,
+                          batch_stats=batch_stats)
+    print(f"exported serving artifact -> {out}")
+    return 0
+
+
 def _restore_params(cfg: config_lib.Config, allow_random_init: bool = False):
     """Restore params (+ batch_stats) from the latest checkpoint.
 
@@ -270,6 +281,17 @@ def main(argv: Optional[List[str]] = None) -> int:
                        help="proceed with random weights when no "
                             "checkpoint is found (smoke tests)")
     p_det.set_defaults(fn=cmd_detect)
+
+    p_exp = sub.add_parser(
+        "export", help="AOT-export the inference program (weights baked in) "
+                       "as a portable StableHLO serving artifact")
+    _common_flags(p_exp)
+    p_exp.add_argument("--out-dir", required=True)
+    p_exp.add_argument("--serve-batch-size", type=int, default=8)
+    p_exp.add_argument("--allow-random-init", action="store_true",
+                       help="export with random weights when no checkpoint "
+                            "is found (smoke tests)")
+    p_exp.set_defaults(fn=cmd_export)
 
     args = parser.parse_args(argv)
     return args.fn(args)

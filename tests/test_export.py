@@ -1,0 +1,68 @@
+"""AOT export/load roundtrip for the serving artifact (infer/export.py).
+
+The exported StableHLO program must reproduce the live jitted detector
+bit-for-bit (same weights, same postprocess), run without any model code,
+and reject wrong batch shapes loudly.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from objectdetection_ssd_tpu.config import Config, ModelConfig, PostprocessConfig
+from objectdetection_ssd_tpu.infer.detector import Detector
+from objectdetection_ssd_tpu.infer.export import ExportedDetector, export_detector
+from objectdetection_ssd_tpu.models.ssd import build_model
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    return Config(
+        model=ModelConfig(backbone="vgg16"),
+        postprocess=PostprocessConfig(per_class_top_k=16, top_k=20,
+                                      use_approx_top_k=False,
+                                      anchor_prefilter=0,
+                                      use_pallas_nms=False),
+    )
+
+
+@pytest.fixture(scope="module")
+def params(small_cfg):
+    model = build_model(small_cfg.model)
+    return model.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 300, 300, 3)))["params"]
+
+
+def test_export_roundtrip_matches_live_detector(tmp_path, small_cfg, params):
+    out = export_detector(small_cfg, params, str(tmp_path / "artifact"),
+                          batch_size=2)
+    served = ExportedDetector(out)
+    live = Detector(small_cfg, params)
+
+    images = jnp.asarray(np.random.default_rng(0).normal(
+        0, 0.5, (2, 300, 300, 3)).astype(np.float32))
+    d_live = live.detect_batch(images)
+    d_srv = served(np.asarray(images))
+
+    np.testing.assert_array_equal(np.asarray(d_live.valid),
+                                  np.asarray(d_srv.valid))
+    np.testing.assert_allclose(np.asarray(d_live.scores),
+                               np.asarray(d_srv.scores), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(d_live.boxes_xyxy),
+                               np.asarray(d_srv.boxes_xyxy), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(d_live.classes),
+                                  np.asarray(d_srv.classes))
+
+    assert served.meta["batch_size"] == 2
+    assert served.meta["image_size"] == 300
+    assert len(served.meta["classes"]) == 20
+
+
+def test_export_rejects_wrong_batch(tmp_path, small_cfg, params):
+    out = export_detector(small_cfg, params, str(tmp_path / "artifact"),
+                          batch_size=2)
+    served = ExportedDetector(out)
+    with pytest.raises(ValueError, match="batch=2"):
+        served(np.zeros((3, 300, 300, 3), np.float32))
