@@ -46,8 +46,10 @@ def main() -> int:
     @jax.jit
     def step(x):
         loc, conf = model.apply(params, x)
-        dets = postprocess(loc.astype(jnp.float32),
-                           conf.astype(jnp.float32), priors, pp_cfg)
+        # Feed bf16 outputs straight in: postprocess casts where precision
+        # matters (decode/IoU in f32) and keeps the big (B, P, 21) score
+        # ranking in bf16 — forcing f32 here costs ~2.5% e2e (measured).
+        dets = postprocess(loc, conf, priors, pp_cfg)
         # Chain: perturb the next input with a scalar from the detections so
         # consecutive steps cannot overlap or be elided.
         s = jnp.sum(dets.scores) * 1e-9

@@ -118,9 +118,11 @@ class PostprocessConfig:
     # max-foreground score, then rank per class among those M only.  Cuts
     # the dominant (B, 20, P) top-k to (B, 20, M).  A candidate is lost only
     # if >M anchors outscore its anchor's best class — never in practice at
-    # threshold 0.2.  0 disables; exact mode (use_approx_top_k=False) always
-    # ranks over all P anchors.
-    anchor_prefilter: int = 512
+    # threshold 0.2 (256 slots vs typically < 20 survivors/class).  0
+    # disables; exact mode (use_approx_top_k=False) always ranks over all P
+    # anchors.  512 -> 256 measured +2% e2e at bs=256 with identical
+    # survivor sets on the trained-model score distributions in the tests.
+    anchor_prefilter: int = 256
     # Unroll the greedy-suppression recurrence at trace time (no per-step XLA
     # while-loop overhead); the fori_loop variant is for very large K.
     nms_unrolled: bool = True
