@@ -56,6 +56,9 @@ def build_config(args) -> config_lib.Config:
     if getattr(args, "bf16", False):
         cfg = cfg.replace(model=dataclasses.replace(
             cfg.model, compute_dtype="bfloat16"))
+    if getattr(args, "freeze_trunk_stages", None):
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, freeze_stages=args.freeze_trunk_stages))
     return cfg
 
 
@@ -252,6 +255,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_train.add_argument("--profile-dir", default=None,
                          help="capture a jax.profiler trace of the first "
                               "epoch to this directory")
+    p_train.add_argument("--freeze-trunk-stages", type=int, default=0,
+                         choices=range(0, 6),
+                         help="freeze the first N VGG stages (1=conv1 .. "
+                              "5=whole trunk) when fine-tuning from "
+                              "pretrained weights; frozen stages skip "
+                              "their backward pass entirely")
     p_train.add_argument("--init-torch-vgg16", default=None,
                          help="initialize the VGG trunk from a torchvision "
                               "vgg16 state_dict/.pth (the reference's "

@@ -76,6 +76,11 @@ class ModelConfig:
     # ResNet-34 variant: freeze the pretrained trunk
     # (reference `Model.py:81-86` wraps it in torch.no_grad()).
     freeze_backbone: bool = True
+    # VGG-16 variant: freeze the first N conv stages (1=conv1 .. 5=whole
+    # trunk incl. fc6/fc7) — the standard fine-tuning recipe from pretrained
+    # weights and the VGG analog of the ResNet freeze above.  XLA drops the
+    # frozen stages' backward sweep entirely (large train-step saving).
+    freeze_stages: int = 0
     dropout_rate: float = 0.4          # reference `Model.py:13`
     # Compute dtype for the conv stack. Params stay f32; bf16 activations
     # keep the MXU fed at full rate on TPU.

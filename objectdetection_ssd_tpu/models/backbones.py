@@ -28,13 +28,44 @@ from objectdetection_ssd_tpu.models.layers import TorchConv, max_pool
 Dtype = Any
 
 
+# Param names per VGG stage — used both for the stop_gradient cut below and
+# for the optimizer's zero-update mask (train/state.py).
+VGG_STAGE_PARAMS = (
+    ("conv1_1", "conv1_2"),
+    ("conv2_1", "conv2_2"),
+    ("conv3_1", "conv3_2", "conv3_3"),
+    ("conv4_1", "conv4_2", "conv4_3"),
+    ("conv5_1", "conv5_2", "conv5_3", "conv_fc6", "conv_fc7"),
+)
+
+
+def vgg_frozen_prefixes(freeze_stages: int) -> Tuple[str, ...]:
+    """Slash-joined param prefixes for the first ``freeze_stages`` stages."""
+    out = []
+    for stage in VGG_STAGE_PARAMS[:freeze_stages]:
+        out.extend(f"trunk/{name}" for name in stage)
+    return tuple(out)
+
+
 class VGG16Trunk(nn.Module):
     """VGG-16 features through conv_fc7, returning the two SSD taps.
 
     Returns (conv4_3 tap (B,38,38,512) BEFORE L2-norm, fc7 tap (B,19,19,1024)).
+
+    ``freeze_stages``: freeze the first N conv stages (1=conv1, ... 5=whole
+    trunk incl. fc6/fc7) via stop_gradient at the stage boundary — the
+    standard fine-tuning recipe when starting from pretrained weights, and
+    the VGG analog of the reference's fully-frozen ResNet trunk
+    (`Model.py:81-86`).  Cutting at the boundary makes XLA drop the frozen
+    stages' entire backward sweep (their dW convs and the dX chain below),
+    a large train-step saving since the early high-resolution convs
+    dominate backward cost.  Pair with the optimizer mask
+    (`vgg_frozen_prefixes` -> `create_train_state(frozen_prefixes=...)`) so
+    the frozen params also skip weight decay.
     """
 
     dtype: Dtype = jnp.float32
+    freeze_stages: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -46,13 +77,21 @@ class VGG16Trunk(nn.Module):
                 x = nn.relu(x)
             return x
 
+        def cut(x, stage):
+            return jax.lax.stop_gradient(x) if self.freeze_stages >= stage \
+                else x
+
         x = block(x, 64, 2, "conv1")
+        x = cut(x, 1)
         x = max_pool(x, 2, 2)                       # 300 -> 150
         x = block(x, 128, 2, "conv2")
+        x = cut(x, 2)
         x = max_pool(x, 2, 2)                       # 150 -> 75
         x = block(x, 256, 3, "conv3")
+        x = cut(x, 3)
         x = max_pool(x, 2, 2, ceil_mode=True)       # 75 -> 38 (ceil, Model.py:137)
         x = block(x, 512, 3, "conv4")
+        x = cut(x, 4)
         conv4_3 = x                                  # (B, 38, 38, 512)
 
         x = max_pool(x, 2, 2)                       # 38 -> 19
@@ -65,7 +104,7 @@ class VGG16Trunk(nn.Module):
         x = nn.relu(x)
         x = TorchConv(1024, kernel=1, dtype=self.dtype, name="conv_fc7")(x)
         x = nn.relu(x)
-        return conv4_3, x
+        return conv4_3, cut(x, 5)
 
 
 class BasicBlock(nn.Module):

@@ -48,13 +48,18 @@ class SSD300(nn.Module):
     num_classes: int = NUM_CLASSES_WITH_BG
     l2_norm_scale_init: float = 20.0
     dtype: Dtype = jnp.float32
+    # Freeze the first N VGG stages (fine-tuning from pretrained weights);
+    # see VGG16Trunk.freeze_stages.
+    freeze_stages: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
                  train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         del train  # no BN/dropout in this architecture
         x = x.astype(self.dtype)
-        conv4_3, x = VGG16Trunk(dtype=self.dtype, name="trunk")(x)
+        conv4_3, x = VGG16Trunk(dtype=self.dtype,
+                                freeze_stages=self.freeze_stages,
+                                name="trunk")(x)
         conv4_3 = L2Norm(scale_init=self.l2_norm_scale_init,
                          name="l2norm_4_3")(conv4_3)
 
@@ -183,6 +188,7 @@ def build_model(config: ModelConfig) -> nn.Module:
     if config.backbone == "vgg16":
         return SSD300(num_classes=config.num_classes,
                       l2_norm_scale_init=config.l2_norm_scale_init,
+                      freeze_stages=config.freeze_stages,
                       dtype=dtype)
     if config.backbone == "resnet34":
         return SSDResNet34(num_classes=config.num_classes,

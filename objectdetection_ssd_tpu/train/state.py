@@ -84,12 +84,14 @@ def step_decay_schedule(base_lr: float, gamma: float,
 
 
 def _zero_frozen(frozen_prefixes) -> optax.GradientTransformation:
-    """Zero updates for params under any of the given top-level subtrees.
+    """Zero updates for params under any of the given subtrees.
 
-    Matches torch-SGD semantics for frozen backbones: params that never
-    receive a gradient (the reference wraps the ResNet trunk in
-    torch.no_grad(), `Model.py:81-86`) are skipped entirely — in particular
-    they must not be weight-decayed.
+    Prefixes are slash-joined path prefixes: ``"trunk"`` freezes the whole
+    trunk (the ResNet variant, reference `Model.py:81-86`), while
+    ``"trunk/conv1_1"`` freezes a single VGG layer (stage-level freezing,
+    `models/backbones.py:vgg_frozen_prefixes`).  Matches torch-SGD semantics
+    for frozen params: they never receive a gradient, and in particular must
+    not be weight-decayed.
     """
 
     def init(params):
@@ -100,8 +102,12 @@ def _zero_frozen(frozen_prefixes) -> optax.GradientTransformation:
         del params
 
         def mask(path, u):
-            key = getattr(path[0], "key", getattr(path[0], "name", ""))
-            return jnp.zeros_like(u) if key in frozen_prefixes else u
+            keys = [getattr(p, "key", getattr(p, "name", str(p)))
+                    for p in path]
+            joined = "/".join(keys)
+            frozen = any(joined == pre or joined.startswith(pre + "/")
+                         for pre in frozen_prefixes)
+            return jnp.zeros_like(u) if frozen else u
 
         return jax.tree_util.tree_map_with_path(mask, updates), state
 
@@ -146,15 +152,22 @@ def create_train_state(model, rng: jax.Array, sample_input: jnp.ndarray,
     """Initialize variables and build the optimizer.
 
     ``frozen_prefixes`` defaults to ("trunk",) when the model declares
-    ``freeze_backbone`` (the ResNet-34 variant, reference `Model.py:81-86`).
+    ``freeze_backbone`` (the ResNet-34 variant, reference `Model.py:81-86`),
+    or to the per-stage VGG prefixes when the model declares
+    ``freeze_stages`` > 0.
     """
     variables = model.init(rng, sample_input, train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats")
     if frozen_prefixes is None:
-        frozen_prefixes = (("trunk",)
-                           if getattr(model, "freeze_backbone", False)
-                           else ())
+        if getattr(model, "freeze_backbone", False):
+            frozen_prefixes = ("trunk",)
+        elif getattr(model, "freeze_stages", 0):
+            from objectdetection_ssd_tpu.models.backbones import \
+                vgg_frozen_prefixes
+            frozen_prefixes = vgg_frozen_prefixes(model.freeze_stages)
+        else:
+            frozen_prefixes = ()
     tx = make_optimizer(optim_config, steps_per_epoch, frozen_prefixes)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
