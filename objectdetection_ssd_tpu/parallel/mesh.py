@@ -63,3 +63,45 @@ def local_batch_size(global_batch_size: int, mesh: Mesh,
             f"global batch {global_batch_size} not divisible by "
             f"mesh axis '{axis}' size {n}")
     return global_batch_size // n
+
+
+def fsdp_sharding_for(x: jax.Array, mesh: Mesh,
+                      axis: str = "fsdp") -> NamedSharding:
+    """Pick an FSDP sharding for one param leaf: shard the largest dim that
+    divides the axis size; replicate if none does (tiny biases/scales).
+
+    This is parameter sharding in the ZeRO-3/FSDP sense: each device holds
+    1/N of every (large) weight; XLA inserts the all-gather before use and
+    the reduce-scatter on the gradient automatically because the jitted
+    step's in_shardings pin the param layout.  For this model family
+    (~100M params, f32 + momentum = ~0.8 GB state) FSDP is about fitting
+    LARGER BATCHES per chip, not necessity — data-parallel remains the
+    default (SURVEY.md §5); the axis exists so the mesh layer scales to
+    models where it is one.
+    """
+    n = mesh.shape[axis]
+    if n == 1:
+        return NamedSharding(mesh, P())
+    dims = list(x.shape)
+    if not dims:
+        return NamedSharding(mesh, P())
+    order = sorted(range(len(dims)), key=lambda i: dims[i], reverse=True)
+    for i in order:
+        if dims[i] % n == 0 and dims[i] >= n:
+            spec = [None] * len(dims)
+            spec[i] = axis
+            return NamedSharding(mesh, P(*spec))
+    return NamedSharding(mesh, P())
+
+
+def shard_params_fsdp(tree: Any, mesh: Mesh, axis: str = "fsdp") -> Any:
+    """Device-put a param/optimizer pytree with every leaf FSDP-sharded."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, fsdp_sharding_for(x, mesh, axis)), tree)
+
+
+def state_fsdp_shardings(state: Any, mesh: Mesh, axis: str = "fsdp") -> Any:
+    """Sharding pytree for a TrainState: params/opt leaves FSDP-sharded,
+    scalars (step) replicated — suitable for jit in/out_shardings."""
+    return jax.tree_util.tree_map(
+        lambda x: fsdp_sharding_for(x, mesh, axis), state)

@@ -87,12 +87,17 @@ def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray],
 
 def make_jitted_steps(priors: jnp.ndarray, loss_config: LossConfig,
                       mesh: Optional[Mesh] = None, donate: bool = True,
-                      seed: int = 0):
+                      seed: int = 0, state_sharding=None):
     """Compile train/eval steps, optionally with explicit mesh shardings.
 
     With a mesh: batch arrays are sharded over the ``data`` axis, state is
     replicated, and the compiled programs pin those shardings so XLA emits
     the gradient all-reduce over ICI.
+
+    ``state_sharding``: override for the TrainState layout — pass the pytree
+    from `parallel.mesh.state_fsdp_shardings(state, mesh)` to run FSDP
+    (params/momentum sharded over an ``fsdp`` mesh axis; XLA inserts the
+    param all-gathers and gradient reduce-scatters).  Default: replicated.
     """
     t_step = functools.partial(train_step, priors=priors,
                                loss_config=loss_config, seed=seed)
@@ -104,12 +109,14 @@ def make_jitted_steps(priors: jnp.ndarray, loss_config: LossConfig,
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    state_shard = state_sharding if state_sharding is not None else repl
+    metrics_repl = repl
     jit_train = jax.jit(
         t_step,
-        in_shardings=(repl, data),
-        out_shardings=(repl, repl),
+        in_shardings=(state_shard, data),
+        out_shardings=(state_shard, metrics_repl),
         donate_argnums=(0,) if donate else (),
     )
-    jit_eval = jax.jit(e_step, in_shardings=(repl, data),
+    jit_eval = jax.jit(e_step, in_shardings=(state_shard, data),
                        out_shardings=repl)
     return jit_train, jit_eval
