@@ -122,6 +122,15 @@ def cmd_train(args) -> int:
     if args.epochs is not None:
         cfg = cfg.replace(train=dataclasses.replace(
             cfg.train, num_epochs=args.epochs))
+    if getattr(args, "fsdp", 0) and args.fsdp > 1:
+        import jax
+        n = len(jax.devices())
+        if n % args.fsdp:
+            raise SystemExit(f"--fsdp {args.fsdp} does not divide the "
+                             f"{n} available devices")
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, mesh_shape=(n // args.fsdp, args.fsdp),
+            mesh_axis_names=("data", "fsdp")))
     init_params, init_batch_stats = _load_init_weights(args, cfg)
     train_recs, val_recs = _load_split(cfg, args)
 
@@ -255,6 +264,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_train.add_argument("--profile-dir", default=None,
                          help="capture a jax.profiler trace of the first "
                               "epoch to this directory")
+    p_train.add_argument("--fsdp", type=int, default=0,
+                         help="shard params/momentum ZeRO-3 style over an "
+                              "fsdp mesh axis of this size (devices are "
+                              "arranged as (n/fsdp, fsdp) = (data, fsdp))")
     p_train.add_argument("--freeze-trunk-stages", type=int, default=0,
                          choices=range(0, 6),
                          help="freeze the first N VGG stages (1=conv1 .. "

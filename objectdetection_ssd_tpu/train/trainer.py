@@ -73,11 +73,21 @@ class Trainer:
             self.state = self.state.replace(
                 batch_stats=merge_params(self.state.batch_stats,
                                          init_batch_stats))
-        self.state = mesh_lib.replicate(self.state, self.mesh)
+        # State layout: replicated by default; FSDP-sharded (ZeRO-3) when
+        # the mesh carries an 'fsdp' axis of size > 1 (e.g.
+        # TrainConfig.mesh_shape=(4, 2), mesh_axis_names=("data", "fsdp")).
+        state_sharding = None
+        if "fsdp" in self.mesh.axis_names and self.mesh.shape["fsdp"] > 1:
+            state_sharding = mesh_lib.state_fsdp_shardings(self.state,
+                                                           self.mesh)
+            self.state = jax.device_put(self.state, state_sharding)
+        else:
+            self.state = mesh_lib.replicate(self.state, self.mesh)
 
         self.train_step, self.eval_step = loop_lib.make_jitted_steps(
             self.priors, config.loss, mesh=self.mesh,
-            donate=config.train.donate_state, seed=config.train.seed)
+            donate=config.train.donate_state, seed=config.train.seed,
+            state_sharding=state_sharding)
         self.ckpt = CheckpointManager(
             config.train.checkpoint_dir,
             max_to_keep=config.train.max_checkpoints_to_keep)

@@ -73,6 +73,46 @@ def test_fsdp_step_matches_single_device():
     assert np.isfinite(float(e2["loss"]))
 
 
+def test_trainer_runs_fsdp_mesh(tmp_path):
+    """Trainer auto-selects FSDP state sharding when the configured mesh
+    carries an fsdp axis; one epoch over synthetic data trains and
+    checkpoints."""
+    from objectdetection_ssd_tpu.config import (Config, DataConfig,
+                                                ModelConfig, OptimConfig,
+                                                TrainConfig)
+    from objectdetection_ssd_tpu.data import synthetic, voc
+    from objectdetection_ssd_tpu.data.pipeline import Loader
+    from objectdetection_ssd_tpu.train.trainer import Trainer
+    from tests.test_end_to_end import TinyDet
+    from tests.test_end_to_end import _tiny_priors as det_priors
+
+    root = tmp_path / "voc"
+    synthetic.generate_voc(str(root), num_2007=16, num_2012=0,
+                           image_size=(96, 96), seed=3)
+    records = voc.load_records(str(root), train=True)
+    cfg = Config(
+        model=ModelConfig(image_size=64),
+        data=DataConfig(voc_root=str(root), batch_size=8, num_workers=0,
+                        max_boxes=8),
+        optim=OptimConfig(lr=0.01, use_lr_schedule=False),
+        train=TrainConfig(num_epochs=1, seed=0,
+                          checkpoint_dir=str(tmp_path / "ckpt"),
+                          log_every_steps=0,
+                          mesh_shape=(4, 2),
+                          mesh_axis_names=("data", "fsdp")),
+    )
+    loader = Loader(records, cfg.data, cfg.model.image_size, train=True,
+                    seed=0)
+    trainer = Trainer(cfg, loader, model=TinyDet(), priors=det_priors())
+    # state actually lives sharded over the fsdp axis
+    kern = trainer.state.params["Conv_0"]["kernel"]
+    assert kern.sharding.spec == mesh_lib.fsdp_sharding_for(
+        kern, trainer.mesh).spec
+    state = trainer.fit()
+    assert np.isfinite(trainer.history["train"][-1])
+    assert int(state.step) == len(loader)
+
+
 def test_fsdp_memory_footprint_is_sharded():
     """Each device's addressable shard of a big FSDP leaf is 1/N the bytes."""
     mesh = _fsdp_mesh()
