@@ -57,6 +57,54 @@ def draw_detections(image, boxes_xyxy: np.ndarray,
     return im
 
 
+def denormalize(image: np.ndarray) -> np.ndarray:
+    """Undo ImageNet normalization for display (reference `denormalize`,
+    `Util.py:37-40`): std * x + mean, channels last."""
+    mean = np.array([0.485, 0.456, 0.406])
+    std = np.array([0.229, 0.224, 0.225])
+    return np.asarray(image) * std + mean
+
+
+def largest_box(boxes_xyxy: np.ndarray, labels: Sequence) -> tuple:
+    """Return ([box], [label]) of the largest-area box (reference
+    `get_largest_bbox_with_label`, `Util.py:501-507`).  Ties resolve to the
+    earliest index, like the reference's stable sort."""
+    b = np.asarray(boxes_xyxy)
+    areas = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    idx = int(np.argmax(areas))
+    return [b[idx]], [labels[idx]]
+
+
+def indicator(indices, n: int) -> np.ndarray:
+    """{0,1} vector of length n with 1 at the given indices (reference
+    `one_zero`, `Util.py:509-513`)."""
+    out = np.zeros(n, np.float32)
+    out[np.asarray(indices, np.int64)] = 1.0
+    return out
+
+
+def draw_anchor_centers(priors_cxcywh: np.ndarray, grid_size: int,
+                        image_size: int = 400,
+                        save_path: Optional[str] = None):
+    """Scatter anchor centers on a grid (reference `show_anchors`,
+    `Util.py:183-196`) — PIL, headless-safe.  ``grid_size`` draws the
+    feature-map cell lattice behind the centers."""
+    from PIL import Image, ImageDraw
+    im = Image.new("RGB", (image_size, image_size), (255, 255, 255))
+    draw = ImageDraw.Draw(im)
+    for i in range(grid_size + 1):
+        t = i / grid_size * (image_size - 1)
+        draw.line([(t, 0), (t, image_size)], fill=(220, 220, 220))
+        draw.line([(0, t), (image_size, t)], fill=(220, 220, 220))
+    pri = np.asarray(priors_cxcywh)
+    for i, (cx, cy) in enumerate(pri[:, :2]):
+        x, y = cx * (image_size - 1), cy * (image_size - 1)
+        draw.ellipse([x - 2, y - 2, x + 2, y + 2], fill=(30, 90, 200))
+    if save_path:
+        im.save(save_path)
+    return im
+
+
 def draw_priors_grid(image_size: int, priors_cxcywh: np.ndarray,
                      cell_index: int = 0, save_path: Optional[str] = None):
     """Visualize a handful of priors (reference anchor overlays,

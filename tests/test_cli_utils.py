@@ -111,6 +111,24 @@ def test_draw_priors_grid(tmp_path):
     assert out.exists()
 
 
+def test_viz_legacy_helpers(tmp_path):
+    """denormalize / largest_box / indicator / anchor scatter (reference
+    `Util.py:37-40,183-196,501-513`)."""
+    x = np.zeros((2, 2, 3))
+    np.testing.assert_allclose(viz.denormalize(x)[0, 0],
+                               [0.485, 0.456, 0.406])
+    boxes = np.asarray([[0, 0, 1, 1], [0, 0, 5, 5], [0, 0, 2, 2]], float)
+    bb, ll = viz.largest_box(boxes, ["a", "b", "c"])
+    assert ll == ["b"] and np.array_equal(bb[0], boxes[1])
+    np.testing.assert_array_equal(viz.indicator([0, 3], 5),
+                                  [1, 0, 0, 1, 0])
+    from objectdetection_ssd_tpu.ops import priors
+    out = tmp_path / "centers.png"
+    viz.draw_anchor_centers(priors.ssd300_priors()[:16], grid_size=38,
+                            save_path=str(out))
+    assert out.exists()
+
+
 def test_profiler_trace_noop():
     with metrics.profiler_trace(None):
         pass  # no-op path must not require jax
