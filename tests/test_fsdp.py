@@ -113,6 +113,49 @@ def test_trainer_runs_fsdp_mesh(tmp_path):
     assert int(state.step) == len(loader)
 
 
+def test_checkpoint_reshard_roundtrip(tmp_path):
+    """Elastic resume across mesh layouts: a checkpoint written from an
+    FSDP-sharded state restores into a replicated state (different mesh,
+    different shardings) with identical values — and vice versa."""
+    from objectdetection_ssd_tpu.train.checkpoint import CheckpointManager
+
+    model = TinySSD()
+    batch = _tiny_batch(bs=2)
+    state = create_train_state(
+        model, jax.random.PRNGKey(3), batch["images"][:1],
+        OptimConfig(use_lr_schedule=False))
+
+    mesh = _fsdp_mesh()
+    sharded = jax.device_put(state,
+                             mesh_lib.state_fsdp_shardings(state, mesh))
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(0, sharded, metadata={})
+    mgr.wait()
+
+    # restore into a replicated layout on a plain data mesh
+    data_mesh = mesh_lib.create_mesh()
+    target = mesh_lib.replicate(state, data_mesh)
+    restored, _, epoch = mgr.restore(target)
+    assert epoch == 0
+    k_src = np.asarray(sharded.params["Conv_0"]["kernel"])
+    k_dst = np.asarray(restored.params["Conv_0"]["kernel"])
+    np.testing.assert_array_equal(k_src, k_dst)
+    assert restored.params["Conv_0"]["kernel"].sharding.is_fully_replicated
+
+    # and back: replicated checkpoint -> FSDP-sharded target
+    mgr2 = CheckpointManager(str(tmp_path / "ck2"))
+    mgr2.save(0, restored, metadata={})
+    mgr2.wait()
+    target2 = jax.device_put(state,
+                             mesh_lib.state_fsdp_shardings(state, mesh))
+    restored2, _, _ = mgr2.restore(target2)
+    np.testing.assert_array_equal(
+        np.asarray(restored2.params["Conv_0"]["kernel"]), k_src)
+    planned = mesh_lib.fsdp_sharding_for(
+        restored2.params["Conv_0"]["kernel"], mesh)
+    assert restored2.params["Conv_0"]["kernel"].sharding.spec == planned.spec
+
+
 def test_fsdp_memory_footprint_is_sharded():
     """Each device's addressable shard of a big FSDP leaf is 1/N the bytes."""
     mesh = _fsdp_mesh()
