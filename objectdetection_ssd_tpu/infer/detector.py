@@ -93,28 +93,40 @@ class Detector:
         """(B, S, S, 3) preprocessed images -> Detections (normalized boxes)."""
         return self._infer(self.params, self.batch_stats, images)
 
-    def detect_images(self, paths: Sequence[str]
-                      ) -> List[Dict[str, np.ndarray]]:
+    def detect_images(self, paths: Sequence[str],
+                      batch_size: int = 8) -> List[Dict[str, np.ndarray]]:
         """Decode, preprocess, run, and rescale to original pixel coords
         (the reference rescales with the on-disk image size,
-        `Losses.py:87-89`)."""
+        `Losses.py:87-89`).
+
+        Runs in fixed-size chunks of ``batch_size`` (tail padded by
+        repetition) so the jitted program compiles ONCE regardless of how
+        many images are passed — every distinct batch shape is a separate
+        XLA compilation."""
         size = self.config.model.image_size
-        imgs, sizes = [], []
-        for p in paths:
-            raw = data_pipeline.load_image(p)
-            sizes.append((raw.shape[1], raw.shape[0]))     # (w, h)
-            imgs.append(data_pipeline.preprocess_image(raw, size))
-        batch = jnp.asarray(np.stack(imgs))
-        dets = self.detect_batch(batch)
-        dets = scale_detections(dets, jnp.asarray(sizes, jnp.float32))
-        out = []
-        for i in range(len(paths)):
-            valid = np.asarray(dets.valid[i])
-            classes = np.asarray(dets.classes[i])[valid]
-            out.append({
-                "boxes_xyxy": np.asarray(dets.boxes_xyxy[i])[valid],
-                "classes": classes,
-                "labels": np.asarray([ID_TO_CLASS[int(c)] for c in classes]),
-                "scores": np.asarray(dets.scores[i])[valid],
-            })
+        bs = min(batch_size, max(len(paths), 1))
+        out: List[Dict[str, np.ndarray]] = []
+        for start in range(0, len(paths), bs):
+            chunk = paths[start:start + bs]
+            imgs, sizes = [], []
+            for p in chunk:
+                raw = data_pipeline.load_image(p)
+                sizes.append((raw.shape[1], raw.shape[0]))  # (w, h)
+                imgs.append(data_pipeline.preprocess_image(raw, size))
+            n_real = len(imgs)
+            while len(imgs) < bs:                 # pad tail, slice below
+                imgs.append(imgs[-1])
+                sizes.append(sizes[-1])
+            dets = self.detect_batch(jnp.asarray(np.stack(imgs)))
+            dets = scale_detections(dets, jnp.asarray(sizes, jnp.float32))
+            for i in range(n_real):
+                valid = np.asarray(dets.valid[i])
+                classes = np.asarray(dets.classes[i])[valid]
+                out.append({
+                    "boxes_xyxy": np.asarray(dets.boxes_xyxy[i])[valid],
+                    "classes": classes,
+                    "labels": np.asarray(
+                        [ID_TO_CLASS[int(c)] for c in classes]),
+                    "scores": np.asarray(dets.scores[i])[valid],
+                })
         return out

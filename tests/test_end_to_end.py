@@ -123,6 +123,15 @@ def test_evaluate_records_runs(tiny_setup):
     assert set(results[0].keys()) == {"boxes_xyxy", "classes", "labels",
                                       "scores"}
 
+    # Chunked path: 5 images at batch_size=2 runs three fixed-shape (2, ...)
+    # batches (tail padded by repetition) — one compilation, 5 results, and
+    # identical output to the single-image call.
+    paths5 = [records[i % len(records)].image_path for i in range(5)]
+    results5 = det.detect_images(paths5, batch_size=2)
+    assert len(results5) == 5
+    np.testing.assert_allclose(results5[0]["boxes_xyxy"],
+                               results[0]["boxes_xyxy"], rtol=1e-6)
+
 
 def test_emergency_checkpoint_on_failure(tiny_setup, tmp_path):
     records, cfg = tiny_setup
