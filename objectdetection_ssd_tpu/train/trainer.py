@@ -110,7 +110,6 @@ class Trainer:
         loader = self.train_loader if train else self.eval_loader
         phase = "train" if train else "test"
         mlog = MetricsLogger(self.config.train.log_every_steps, prefix=phase)
-        epoch_loss = 0.0
         n_images = 0
         full_bs = loader.config.batch_size
         for batch in prefetch(loader.epoch(epoch)):
@@ -132,15 +131,17 @@ class Trainer:
                 self.state, metrics = self.train_step(self.state, batch)
             else:
                 metrics = self.eval_step(self.state, batch)
+            # No per-step host pull: metrics stay device-resident so steps
+            # pipeline with the next batch's host prep + H2D copy; MetricsLogger
+            # syncs only on its log cadence and at epoch end.
             mlog.update(metrics, bs)
-            epoch_loss += float(metrics["loss"]) * bs
             n_images += bs
         if n_images == 0:
             logger.warning("epoch %d [%s] had no full batches "
                            "(%d records < batch size?)", epoch, phase,
                            len(loader.records))
             return float("nan")
-        avg = epoch_loss / n_images
+        avg = mlog.summary()["loss"]
         logger.info("epoch %d [%s] loss=%.4f", epoch, phase, avg)
         return avg
 

@@ -32,18 +32,31 @@ def setup_logging(level: int = logging.INFO) -> None:
 
 class RunningAverage:
     """Weighted running average (reference weights by batch size,
-    `train_function.py:98`)."""
+    `train_function.py:98`).
+
+    Values may be device scalars: they are held unrealized and only pulled
+    to the host when the average is read.  A `float()` on a jitted step's
+    metric is a device sync — doing it every step serializes device
+    execution with host-side batching, so the Trainer reads averages only
+    on log steps and at epoch end."""
 
     def __init__(self):
         self.total = 0.0
         self.weight = 0.0
+        self._pending = []
 
-    def update(self, value: float, weight: float = 1.0) -> None:
-        self.total += float(value) * weight
+    def update(self, value, weight: float = 1.0) -> None:
+        self._pending.append((value, weight))
         self.weight += weight
+
+    def _flush(self) -> None:
+        if self._pending:
+            self.total += sum(float(v) * w for v, w in self._pending)
+            self._pending.clear()
 
     @property
     def average(self) -> float:
+        self._flush()
         return self.total / self.weight if self.weight else float("nan")
 
 
@@ -59,9 +72,11 @@ class MetricsLogger:
         self._images = 0
 
     def update(self, metrics: Dict[str, Any], batch_size: int) -> None:
+        # Device scalars are stored unrealized; the host sync happens only
+        # when a log line is emitted (below) or summary() is read.
         for k, v in metrics.items():
             self.averages.setdefault(k, RunningAverage()).update(
-                float(v), batch_size)
+                v, batch_size)
         self._images += batch_size
         self._step += 1
         if self.log_every and self._step % self.log_every == 0:
