@@ -175,9 +175,12 @@ def cmd_train(args) -> int:
 def cmd_eval(args) -> int:
     from objectdetection_ssd_tpu.eval.evaluate import evaluate_records
     cfg = build_config(args)
-    _, val_recs = _load_split(cfg, args)
+    train_recs, val_recs = _load_split(cfg, args)
+    # The reference reports mAP on both splits (README.md:134-190: val
+    # 0.6464, train 0.7738); --split train reproduces the latter protocol.
+    records = train_recs if args.split == "train" else val_recs
     params, batch_stats = _restore_params(cfg, args.allow_random_init)
-    aps, mean_ap = evaluate_records(cfg, params, val_recs,
+    aps, mean_ap = evaluate_records(cfg, params, records,
                                     batch_stats=batch_stats)
     for name, ap in aps.items():
         print(f"{name:>12s}  AP = {ap:.4f}")
@@ -290,6 +293,9 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     p_eval = sub.add_parser("eval", help="evaluate mAP on the val split")
     _common_flags(p_eval)
+    p_eval.add_argument("--split", choices=["val", "train"], default="val",
+                        help="which split to score (the reference reports "
+                             "both, README.md:134-190)")
     p_eval.add_argument("--allow-random-init", action="store_true",
                         help="proceed with random weights when no "
                              "checkpoint is found (smoke tests)")

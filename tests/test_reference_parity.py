@@ -55,6 +55,10 @@ def _stub_torchvision():
     tr = types.ModuleType("torchvision.transforms")
     ft = types.ModuleType("torchvision.transforms.functional")
     tr.Compose = tr.Resize = tr.ToTensor = tr.Normalize = _NoOp
+    # FT.hflip is the one functional the reference's deterministic `flip`
+    # path calls (`Util.py:742`); PIL transpose IS torchvision's
+    # implementation for PIL inputs.
+    ft.hflip = lambda im: im.transpose(0)  # PIL FLIP_LEFT_RIGHT == 0
     tr.functional = ft
     tv.transforms = tr
     sys.modules["torchvision"] = tv
@@ -315,3 +319,26 @@ def test_map_matches_reference(reference):
             our_aps[VOC_CLASSES[cls]], float(ref_aps[cls]),
             rtol=1e-6, atol=1e-8,
             err_msg=f"AP mismatch for class {cls}")
+
+
+# ---------------------------------------------------------------------------
+# (g) horizontal flip: the one deterministic augmentation — image + box math
+# vs the reference's actual `flip` (`Util.py:732-748`)
+# ---------------------------------------------------------------------------
+
+def test_hflip_matches_reference(reference):
+    Util, _, _ = reference
+    from PIL import Image
+    from objectdetection_ssd_tpu.data import augment
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 255, (48, 64, 3), np.uint8)
+    boxes = np.asarray([[3.0, 4.0, 20.0, 30.0],
+                        [10.0, 0.0, 63.0, 47.0]], np.float32)
+
+    ref_img, ref_boxes = Util.flip(Image.fromarray(arr),
+                                   torch.tensor(boxes.copy()))
+    our_img, our_boxes = augment.hflip(arr, boxes.copy())
+
+    np.testing.assert_array_equal(np.asarray(ref_img), np.asarray(our_img))
+    np.testing.assert_allclose(ref_boxes.numpy(), our_boxes, atol=0)
