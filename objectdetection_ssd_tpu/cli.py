@@ -59,6 +59,9 @@ def build_config(args) -> config_lib.Config:
     if getattr(args, "freeze_trunk_stages", None):
         cfg = cfg.replace(model=dataclasses.replace(
             cfg.model, freeze_stages=args.freeze_trunk_stages))
+    if getattr(args, "grad_accum", 0) and args.grad_accum > 1:
+        cfg = cfg.replace(optim=dataclasses.replace(
+            cfg.optim, grad_accum_steps=args.grad_accum))
     return cfg
 
 
@@ -267,6 +270,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_train.add_argument("--profile-dir", default=None,
                          help="capture a jax.profiler trace of the first "
                               "epoch to this directory")
+    p_train.add_argument("--grad-accum", type=int, default=1,
+                         help="accumulate gradients over N micro-batches "
+                              "per optimizer update (effective batch = "
+                              "N x batch-size at constant HBM)")
     p_train.add_argument("--fsdp", type=int, default=0,
                          help="shard params/momentum ZeRO-3 style over an "
                               "fsdp mesh axis of this size (devices are "

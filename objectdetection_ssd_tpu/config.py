@@ -174,6 +174,11 @@ class OptimConfig:
     # feature — the reference fine-tunes a pretrained VGG and never needs
     # it — but from-scratch SSD training is unstable without it.
     warmup_steps: int = 0
+    # Accumulate gradients over N micro-batches before each SGD update
+    # (optax.MultiSteps): effective batch = N x batch_size without the HBM
+    # cost of the larger activations (the bs=128 step already peaks at
+    # ~10.4 GB of 16 GB — see benchmarks/RESULTS.md).  1 = off.
+    grad_accum_steps: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

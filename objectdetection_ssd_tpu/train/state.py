@@ -141,7 +141,14 @@ def make_optimizer(config: OptimConfig, steps_per_epoch: int = 1,
     ]
     if frozen_prefixes:
         parts.append(_zero_frozen(tuple(frozen_prefixes)))
-    return optax.chain(*parts)
+    tx = optax.chain(*parts)
+    if config.grad_accum_steps > 1:
+        # Mean gradient over N micro-batches, one real update per N steps
+        # (optax.MultiSteps emits zero updates in between).  The schedule
+        # count above advances once per REAL update, so StepLR epochs keep
+        # their meaning if steps_per_epoch counts optimizer updates.
+        tx = optax.MultiSteps(tx, every_k_schedule=config.grad_accum_steps)
+    return tx
 
 
 def create_train_state(model, rng: jax.Array, sample_input: jnp.ndarray,

@@ -333,3 +333,32 @@ def test_dropout_stream_follows_seed():
                           new_state.params)[0]))
     assert outs[0][0] != outs[1][0]
     assert not np.allclose(outs[0][1], outs[1][1])
+
+
+def test_grad_accumulation_matches_mean_grad_step():
+    """grad_accum_steps=2: params move only on the 2nd micro-step, by the
+    same update a single step with the MEAN of both gradients produces."""
+    import jax.numpy as jnp
+
+    cfg = OptimConfig(lr=0.01, use_lr_schedule=False, weight_decay=0.0,
+                      momentum=0.9)
+    params = {"w": jnp.asarray([1.0, -2.0, 3.0])}
+    g1 = {"w": jnp.asarray([0.5, 0.1, -0.2])}
+    g2 = {"w": jnp.asarray([0.1, -0.3, 0.4])}
+
+    tx = make_optimizer(OptimConfig(**{**cfg.__dict__,
+                                       "grad_accum_steps": 2}))
+    st = tx.init(params)
+    up1, st = tx.update(g1, st, params)
+    p_mid = {"w": params["w"] + up1["w"]}
+    np.testing.assert_array_equal(np.asarray(up1["w"]), 0.0)  # no update yet
+    up2, st = tx.update(g2, st, p_mid)
+    p_final = p_mid["w"] + up2["w"]
+
+    ref_tx = make_optimizer(cfg)
+    ref_st = ref_tx.init(params)
+    g_mean = {"w": (g1["w"] + g2["w"]) / 2}
+    ref_up, _ = ref_tx.update(g_mean, ref_st, params)
+    np.testing.assert_allclose(np.asarray(p_final),
+                               np.asarray(params["w"] + ref_up["w"]),
+                               rtol=1e-6)
