@@ -62,6 +62,9 @@ def build_config(args) -> config_lib.Config:
     if getattr(args, "grad_accum", 0) and args.grad_accum > 1:
         cfg = cfg.replace(optim=dataclasses.replace(
             cfg.optim, grad_accum_steps=args.grad_accum))
+    if getattr(args, "tb_dir", None):
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, tensorboard_dir=args.tb_dir))
     return cfg
 
 
@@ -270,6 +273,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_train.add_argument("--profile-dir", default=None,
                          help="capture a jax.profiler trace of the first "
                               "epoch to this directory")
+    p_train.add_argument("--tb-dir", default=None,
+                         help="write TensorBoard event files (loss, img/s) "
+                              "to this directory")
     p_train.add_argument("--grad-accum", type=int, default=1,
                          help="accumulate gradients over N micro-batches "
                               "per optimizer update (effective batch = "

@@ -188,6 +188,8 @@ class TrainConfig:
     checkpoint_every_epochs: int = 1   # reference saves per-epoch
     max_checkpoints_to_keep: int = 3
     log_every_steps: int = 20          # reference `train_function.py:99`
+    # Write TensorBoard event files (loss/lr/img-s scalars) here; None = off.
+    tensorboard_dir: Optional[str] = None
     seed: int = 10
     # Device mesh axes; plain data parallelism is the default.
     mesh_shape: Optional[Tuple[int, ...]] = None   # None = all devices on 'data'

@@ -93,6 +93,10 @@ class Trainer:
             max_to_keep=config.train.max_checkpoints_to_keep)
         self.start_epoch = 0
         self.history: Dict[str, List[float]] = {"train": [], "test": []}
+        self.tb = None
+        if config.train.tensorboard_dir:
+            from objectdetection_ssd_tpu.utils.metrics import TensorBoardWriter
+            self.tb = TensorBoardWriter(config.train.tensorboard_dir)
 
     def maybe_resume(self) -> bool:
         """Resume from the latest checkpoint if one exists
@@ -109,7 +113,13 @@ class Trainer:
         import numpy as np
         loader = self.train_loader if train else self.eval_loader
         phase = "train" if train else "test"
-        mlog = MetricsLogger(self.config.train.log_every_steps, prefix=phase)
+        on_log = None
+        if self.tb is not None:
+            base = epoch * max(len(loader), 1)
+            on_log = lambda step, scalars: self.tb.scalars(  # noqa: E731
+                phase, base + step, scalars)
+        mlog = MetricsLogger(self.config.train.log_every_steps, prefix=phase,
+                             on_log=on_log)
         n_images = 0
         full_bs = loader.config.batch_size
         for batch in prefetch(loader.epoch(epoch)):
@@ -143,6 +153,8 @@ class Trainer:
             return float("nan")
         avg = mlog.summary()["loss"]
         logger.info("epoch %d [%s] loss=%.4f", epoch, phase, avg)
+        if self.tb is not None:
+            self.tb.scalars(f"epoch_{phase}", epoch, mlog.summary())
         return avg
 
     def fit(self, num_epochs: Optional[int] = None,
@@ -195,4 +207,6 @@ class Trainer:
                 logger.exception("emergency checkpoint failed")
             raise
         self.ckpt.wait()
+        if self.tb is not None:
+            self.tb.close()
         return self.state

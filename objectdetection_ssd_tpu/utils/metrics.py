@@ -61,11 +61,18 @@ class RunningAverage:
 
 
 class MetricsLogger:
-    """Accumulates per-step metric dicts; logs every ``log_every`` steps."""
+    """Accumulates per-step metric dicts; logs every ``log_every`` steps.
 
-    def __init__(self, log_every: int = 20, prefix: str = "train"):
+    ``on_log``: optional callback invoked with (step, {name: average})
+    at each log event — the hook TensorBoard/W&B-style writers attach to
+    (device scalars have already been realized at that point, so the
+    callback adds no extra syncs)."""
+
+    def __init__(self, log_every: int = 20, prefix: str = "train",
+                 on_log=None):
         self.log_every = log_every
         self.prefix = prefix
+        self.on_log = on_log
         self.averages: Dict[str, RunningAverage] = {}
         self._step = 0
         self._t0 = time.perf_counter()
@@ -86,9 +93,41 @@ class MetricsLogger:
                 f"{k}={a.average:.4f}" for k, a in self.averages.items())
             logger.info("[%s] step=%d %s img/s=%.1f",
                         self.prefix, self._step, parts, ips)
+            if self.on_log is not None:
+                scalars = {k: a.average for k, a in self.averages.items()}
+                scalars["img_per_sec"] = ips
+                self.on_log(self._step, scalars)
 
     def summary(self) -> Dict[str, float]:
         return {k: a.average for k, a in self.averages.items()}
+
+
+class TensorBoardWriter:
+    """Optional TensorBoard scalar logging via tensorboardX (no TF needed).
+
+    The reference's only observability is prints + a loss-curve PNG in its
+    README (`train_function.py:99-103`, SURVEY.md §5); this writes real
+    event files.  Import is lazy and failure-tolerant: without tensorboardX
+    the writer becomes a no-op with a warning."""
+
+    def __init__(self, log_dir: str):
+        self._writer = None
+        try:
+            from tensorboardX import SummaryWriter
+            self._writer = SummaryWriter(log_dir)
+        except Exception as e:                       # pragma: no cover
+            logger.warning("tensorboard logging disabled: %s", e)
+
+    def scalars(self, prefix: str, step: int,
+                values: Dict[str, float]) -> None:
+        if self._writer is None:
+            return
+        for k, v in values.items():
+            self._writer.add_scalar(f"{prefix}/{k}", v, step)
+
+    def close(self) -> None:
+        if self._writer is not None:
+            self._writer.close()
 
 
 class Stopwatch:

@@ -132,3 +132,24 @@ def test_viz_legacy_helpers(tmp_path):
 def test_profiler_trace_noop():
     with metrics.profiler_trace(None):
         pass  # no-op path must not require jax
+
+
+def test_metrics_logger_on_log_hook():
+    events = []
+    m = metrics.MetricsLogger(log_every=2, prefix="t",
+                              on_log=lambda s, sc: events.append((s, sc)))
+    m.update({"loss": 4.0}, 2)
+    assert events == []                      # below cadence: no host pull
+    m.update({"loss": 2.0}, 2)
+    assert len(events) == 1
+    step, scalars = events[0]
+    assert step == 2 and scalars["loss"] == 3.0   # weighted average
+    assert "img_per_sec" in scalars
+
+
+def test_tensorboard_writer(tmp_path):
+    w = metrics.TensorBoardWriter(str(tmp_path / "tb"))
+    w.scalars("train", 1, {"loss": 1.5})
+    w.close()
+    import glob
+    assert glob.glob(str(tmp_path / "tb" / "events.out.tfevents.*"))

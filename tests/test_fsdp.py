@@ -97,7 +97,8 @@ def test_trainer_runs_fsdp_mesh(tmp_path):
         optim=OptimConfig(lr=0.01, use_lr_schedule=False),
         train=TrainConfig(num_epochs=1, seed=0,
                           checkpoint_dir=str(tmp_path / "ckpt"),
-                          log_every_steps=0,
+                          log_every_steps=2,
+                          tensorboard_dir=str(tmp_path / "tb"),
                           mesh_shape=(4, 2),
                           mesh_axis_names=("data", "fsdp")),
     )
@@ -111,6 +112,8 @@ def test_trainer_runs_fsdp_mesh(tmp_path):
     state = trainer.fit()
     assert np.isfinite(trainer.history["train"][-1])
     assert int(state.step) == len(loader)
+    import glob
+    assert glob.glob(str(tmp_path / "tb" / "events.out.tfevents.*"))
 
 
 def test_checkpoint_reshard_roundtrip(tmp_path):
