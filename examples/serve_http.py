@@ -1,0 +1,97 @@
+"""Minimal HTTP detection server over an exported artifact.
+
+Demonstrates the deployment story end to end: the serving host needs ONLY
+this file, the artifact directory from `cli export`, and jax — no model
+code, no torch, no training dependencies.
+
+    python -m objectdetection_ssd_tpu.cli export --checkpoint-dir ckpt \
+        --out-dir artifact --serve-batch-size 1
+    python examples/serve_http.py artifact --port 8000
+
+    curl -s -X POST --data-binary @dog.jpg localhost:8000/detect | jq .
+
+POST /detect with a JPEG/PNG body returns JSON detections in pixel coords
+of the posted image.  Single-image batches for simplicity; production
+serving would batch requests up to the artifact's compiled batch size.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import sys
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import numpy as np
+
+
+def build_handler(detector, classes):
+    from PIL import Image
+
+    mean = np.asarray([0.485, 0.456, 0.406], np.float32)
+    std = np.asarray([0.229, 0.224, 0.225], np.float32)
+    size = detector.meta["image_size"]
+    bs = detector.meta["batch_size"]
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            if self.path != "/detect":
+                self.send_error(404)
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(length)
+            try:
+                im = Image.open(io.BytesIO(raw)).convert("RGB")
+            except Exception:
+                self.send_error(400, "not an image")
+                return
+            w, h = im.size
+            arr = np.asarray(im.resize((size, size)), np.float32) / 255.0
+            arr = (arr - mean) / std
+            batch = np.broadcast_to(arr, (bs, size, size, 3)).copy()
+            dets = detector(batch)
+            valid = np.asarray(dets.valid[0])
+            boxes = np.asarray(dets.boxes_xyxy[0])[valid] * [w, h, w, h]
+            out = {
+                "detections": [
+                    {"box_xyxy": [round(float(v), 1) for v in b],
+                     "label": classes[int(c)],
+                     "score": round(float(s), 4)}
+                    for b, c, s in zip(
+                        boxes,
+                        np.asarray(dets.classes[0])[valid],
+                        np.asarray(dets.scores[0])[valid])
+                ]
+            }
+            body = json.dumps(out).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+    return Handler
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("artifact", help="directory written by `cli export`")
+    p.add_argument("--port", type=int, default=8000)
+    args = p.parse_args(argv)
+
+    from objectdetection_ssd_tpu.infer.export import ExportedDetector
+    det = ExportedDetector(args.artifact)
+    handler = build_handler(det, det.meta["classes"])
+    server = HTTPServer(("127.0.0.1", args.port), handler)
+    print(f"serving on http://127.0.0.1:{args.port}/detect "
+          f"(batch={det.meta['batch_size']})")
+    server.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -60,6 +60,51 @@ def test_export_roundtrip_matches_live_detector(tmp_path, small_cfg, params):
     assert len(served.meta["classes"]) == 20
 
 
+def test_http_serving_example(tmp_path, small_cfg, params):
+    """The examples/serve_http.py server answers /detect over a real socket
+    using only the exported artifact."""
+    import io
+    import json
+    import sys
+    import threading
+    import urllib.request
+    from http.server import HTTPServer
+    from PIL import Image
+
+    sys.path.insert(0, "examples")
+    try:
+        import serve_http
+    finally:
+        sys.path.remove("examples")
+    from objectdetection_ssd_tpu.infer.export import ExportedDetector
+
+    out = export_detector(small_cfg, params, str(tmp_path / "artifact"),
+                          batch_size=1)
+    det = ExportedDetector(out)
+    handler = serve_http.build_handler(det, det.meta["classes"])
+    server = HTTPServer(("127.0.0.1", 0), handler)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        buf = io.BytesIO()
+        Image.fromarray(
+            np.random.default_rng(0).integers(
+                0, 255, (120, 160, 3), np.uint8)).save(buf, "JPEG")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/detect", data=buf.getvalue(),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            assert resp.status == 200
+            payload = json.loads(resp.read())
+        assert "detections" in payload
+        for d in payload["detections"]:
+            assert set(d) == {"box_xyxy", "label", "score"}
+            assert len(d["box_xyxy"]) == 4
+    finally:
+        server.shutdown()
+
+
 def test_export_rejects_wrong_batch(tmp_path, small_cfg, params):
     out = export_detector(small_cfg, params, str(tmp_path / "artifact"),
                           batch_size=2)
