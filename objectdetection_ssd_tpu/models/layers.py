@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Any, Callable, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 Dtype = Any
@@ -106,9 +107,19 @@ class L2Norm(nn.Module):
             "scale",
             lambda key, shape: jnp.full(shape, self.scale_init, jnp.float32),
             (x.shape[-1],))
-        norm = jnp.sqrt(
-            jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1,
-                    keepdims=True) + self.epsilon)
+        # Channel sum-of-squares as a matvec with a ones-vector.  Channels
+        # are the minor (lane) dim; a standalone jnp.sum reduce over lanes
+        # lowers pathologically on TPU (72 ms vs 5.9 ms for this dot at
+        # (256, 38, 38, 512), bit-identical output).  Inside the full model
+        # graph XLA fuses the reduce into the conv epilogue so e2e is a
+        # wash either way — the dot form is kept because it is robust to
+        # fusion context (and its VJP is dots too).
+        sumsq = jax.lax.dot_general(
+            jnp.square(x.astype(jnp.float32)),
+            jnp.ones((x.shape[-1],), jnp.float32),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        norm = jnp.sqrt(sumsq + self.epsilon)[..., None]
         return (x / norm.astype(x.dtype)) * scale.astype(x.dtype)
 
 
