@@ -1,0 +1,78 @@
+"""CLI flag -> Config plumbing (cli.build_config and subparser wiring).
+
+Pure-host tests: no model build, no device work — they pin that every
+training/eval knob actually lands in the Config it claims to set."""
+
+import unittest.mock as mock
+
+import pytest
+
+from objectdetection_ssd_tpu import cli
+
+
+def _parse(argv):
+    """Run cli.main with every cmd_* stubbed out; return the parsed args.
+
+    main() binds `fn=cmd_train` etc. from module globals when it builds the
+    parser, so patching the module attributes before the call intercepts
+    dispatch."""
+    captured = {}
+
+    def fake_fn(args):
+        captured["args"] = args
+        return 0
+
+    with mock.patch.object(cli, "cmd_train", fake_fn), \
+            mock.patch.object(cli, "cmd_eval", fake_fn), \
+            mock.patch.object(cli, "cmd_detect", fake_fn), \
+            mock.patch.object(cli, "cmd_export", fake_fn):
+        assert cli.main(argv) == 0
+    return captured["args"]
+
+
+def test_train_flags_reach_config():
+    args = _parse([
+        "train", "--bf16", "--backbone", "vgg16",
+        "--freeze-trunk-stages", "2", "--grad-accum", "4",
+        "--tb-dir", "/tmp/tb", "--batch-size", "16",
+        "--parity-split",
+    ])
+    cfg = cli.build_config(args)
+    assert cfg.model.compute_dtype == "bfloat16"
+    assert cfg.model.freeze_stages == 2
+    assert cfg.optim.grad_accum_steps == 4
+    assert cfg.train.tensorboard_dir == "/tmp/tb"
+    assert cfg.data.batch_size == 16
+    assert cfg.data.parity_split is True
+
+
+def test_resnet_backbone_sets_image_size():
+    args = _parse(["train", "--backbone", "resnet34"])
+    cfg = cli.build_config(args)
+    assert cfg.model.backbone == "resnet34"
+    assert cfg.model.image_size == 224
+
+
+def test_eval_split_flag():
+    args = _parse(["eval", "--split", "train"])
+    assert args.split == "train"
+    args = _parse(["eval"])
+    assert args.split == "val"
+
+
+def test_export_flags():
+    args = _parse(["export", "--out-dir", "/tmp/a",
+                   "--serve-batch-size", "4"])
+    assert args.out_dir == "/tmp/a"
+    assert args.serve_batch_size == 4
+
+
+def test_fsdp_rejects_indivisible_device_count():
+    """cmd_train errors out before any heavy work when --fsdp does not
+    divide the available devices."""
+    import jax
+    n = len(jax.devices())
+    bad = n + 3  # never divides n (bad > n)
+    args = _parse(["train", "--fsdp", str(bad)])
+    with pytest.raises(SystemExit, match="does not divide"):
+        cli.cmd_train(args)
