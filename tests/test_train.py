@@ -362,3 +362,44 @@ def test_grad_accumulation_matches_mean_grad_step():
     np.testing.assert_allclose(np.asarray(p_final),
                                np.asarray(params["w"] + ref_up["w"]),
                                rtol=1e-6)
+
+
+def test_checkpoint_roundtrip_with_grad_accum(tmp_path):
+    """The MultiSteps wrapper changes the opt_state pytree; a mid-
+    accumulation checkpoint must restore it (incl. the micro-step counter
+    and gradient accumulator) exactly."""
+    import jax.numpy as jnp
+    from objectdetection_ssd_tpu.train.checkpoint import CheckpointManager
+    from objectdetection_ssd_tpu.losses.multibox import multibox_loss
+
+    model = TinySSD()
+    batch = _tiny_batch(bs=4)
+    priors = _tiny_priors()
+    cfg = OptimConfig(lr=0.01, use_lr_schedule=False, grad_accum_steps=3)
+    state = create_train_state(model, jax.random.PRNGKey(2),
+                               batch["images"][:1], cfg)
+
+    def loss_fn(params):
+        loc, conf = state.apply_fn({"params": params}, batch["images"])
+        return multibox_loss(loc, conf, batch["boxes"], batch["classes"],
+                             batch["mask"], priors, LossConfig()).total
+
+    grads = jax.grad(loss_fn)(state.params)
+    state = state.apply_gradients(grads)      # mid-accumulation (1 of 3)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(0, state, metadata={})
+    mgr.wait()
+    fresh = create_train_state(model, jax.random.PRNGKey(7),
+                               batch["images"][:1], cfg)
+    restored, _, _ = mgr.restore(fresh)
+
+    for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
+                    jax.tree_util.tree_leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the restored run continues the accumulation identically
+    s2 = restored.apply_gradients(grads)
+    s1 = state.apply_gradients(grads)
+    np.testing.assert_array_equal(
+        np.asarray(s1.params["Conv_0"]["kernel"]),
+        np.asarray(s2.params["Conv_0"]["kernel"]))
