@@ -57,6 +57,11 @@ def build_config(args) -> config_lib.Config:
         cfg = cfg.replace(model=dataclasses.replace(
             cfg.model, compute_dtype="bfloat16"))
     if getattr(args, "freeze_trunk_stages", None):
+        if cfg.model.backbone != "vgg16":
+            raise SystemExit(
+                "--freeze-trunk-stages is a VGG-16 stage control; the "
+                "resnet34 backbone freezes its whole trunk by default "
+                "(ModelConfig.freeze_backbone)")
         cfg = cfg.replace(model=dataclasses.replace(
             cfg.model, freeze_stages=args.freeze_trunk_stages))
     if getattr(args, "grad_accum", 0) and args.grad_accum > 1:

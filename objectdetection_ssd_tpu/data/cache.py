@@ -41,18 +41,37 @@ def build(image_paths: List[str], cache_path: str,
     ~2x num_workers decoded images are in flight, so memory stays constant
     regardless of corpus size (VOC07+12 fully decoded is ~8-9 GB — the
     round-1 list-building version would OOM small hosts).  Output files are
-    written to temp names and atomically renamed, index last, so a crashed
-    or concurrent build never yields a valid-looking corrupt cache.
+    written to temp names and atomically renamed, index last, and the whole
+    .bin+.idx pair replacement runs under an fcntl file lock — per-file
+    renames alone are not enough: two concurrent builds of DIFFERENT path
+    lists could interleave to pair one build's bin with the other's index,
+    which the sha256 check cannot detect.
     """
     idx_path = cache_path + ".idx.npz"
     bin_path = cache_path + ".bin"
     digest = _paths_digest(image_paths)
-    if os.path.exists(idx_path) and os.path.exists(bin_path):
+
+    def _is_current() -> bool:
+        if not (os.path.exists(idx_path) and os.path.exists(bin_path)):
+            return False
         idx = np.load(idx_path)
-        if ("paths_sha256" in idx
+        return ("paths_sha256" in idx
                 and str(idx["paths_sha256"]) == digest
-                and len(idx["heights"]) == len(image_paths)):
-            return cache_path
+                and len(idx["heights"]) == len(image_paths))
+
+    if _is_current():
+        return cache_path
+    import fcntl
+    with open(cache_path + ".lock", "w") as lockf:
+        fcntl.flock(lockf, fcntl.LOCK_EX)
+        return _build_locked(image_paths, cache_path, num_workers,
+                             bin_path, idx_path, digest, _is_current)
+
+
+def _build_locked(image_paths, cache_path, num_workers, bin_path, idx_path,
+                  digest, _is_current):
+    if _is_current():                 # another process built it meanwhile
+        return cache_path
     from objectdetection_ssd_tpu.data.pipeline import load_image
 
     def decode(p):

@@ -221,24 +221,28 @@ def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
     sentinel = object()
     cancelled = threading.Event()
 
+    def _put(item) -> bool:
+        while not cancelled.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
+        # A loader exception must NOT look like a clean end-of-epoch: ship
+        # the exception itself to the consumer (re-raised there) instead of
+        # only the sentinel — silent epoch truncation trains on partial
+        # data with no error.
         try:
             for item in iterator:
-                while not cancelled.is_set():
-                    try:
-                        q.put(item, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-                if cancelled.is_set():
+                if not _put(item):
                     return
-        finally:
-            while not cancelled.is_set():
-                try:
-                    q.put(sentinel, timeout=0.1)
-                    return
-                except queue.Full:
-                    continue
+        except BaseException as e:  # noqa: BLE001 — relayed, not swallowed
+            _put(e)
+            return
+        _put(sentinel)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -247,6 +251,8 @@ def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
             item = q.get()
             if item is sentinel:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item
     finally:
         cancelled.set()

@@ -29,9 +29,13 @@ def exact_eval_postprocess(pp: PostprocessConfig) -> PostprocessConfig:
     above threshold (`Losses.py:32-56`).  Exact mode ranks all anchors with
     exact top-k and keeps >=200 per-class candidates.
     """
+    # nms_unrolled=False: at K>=200 the trace-time-unrolled recurrence is a
+    # 200-step straight-line graph per class — multi-minute compiles for no
+    # runtime benefit at this K (the unrolled form is for small serving K).
     return dataclasses.replace(
         pp, use_approx_top_k=False, anchor_prefilter=0,
-        per_class_top_k=max(200, pp.per_class_top_k))
+        per_class_top_k=max(200, pp.per_class_top_k),
+        nms_unrolled=False)
 
 
 def evaluate_records(config: Config, params: Any, records: List[ImageRecord],

@@ -57,7 +57,11 @@ class Trainer:
         self.priors = (jax.numpy.asarray(priors) if priors is not None else
                        jax.numpy.asarray(priors_lib.priors_for_model(
                            config.model, config.priors)))
-        steps_per_epoch = max(len(train_loader), 1)
+        # The LR schedule count advances once per REAL optimizer update
+        # (optax.MultiSteps holds it during accumulation), so the StepLR
+        # epoch clock must count updates, not loader micro-batches.
+        accum = max(config.optim.grad_accum_steps, 1)
+        steps_per_epoch = max(-(-len(train_loader) // accum), 1)
         rng = jax.random.PRNGKey(config.train.seed)
         sample = jax.numpy.zeros(
             (1, config.model.image_size, config.model.image_size, 3),

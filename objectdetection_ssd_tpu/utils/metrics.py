@@ -45,9 +45,18 @@ class RunningAverage:
         self.weight = 0.0
         self._pending = []
 
+    # Bound on retained unrealized device scalars: with the log cadence off
+    # (log_every_steps=0) nothing else flushes until epoch end, and holding
+    # one device buffer per step for a long epoch adds up.  By the time the
+    # bound is hit the oldest values have long since been computed, so the
+    # flush is effectively sync-free.
+    _MAX_PENDING = 256
+
     def update(self, value, weight: float = 1.0) -> None:
         self._pending.append((value, weight))
         self.weight += weight
+        if len(self._pending) >= self._MAX_PENDING:
+            self._flush()
 
     def _flush(self) -> None:
         if self._pending:

@@ -76,3 +76,10 @@ def test_fsdp_rejects_indivisible_device_count():
     args = _parse(["train", "--fsdp", str(bad)])
     with pytest.raises(SystemExit, match="does not divide"):
         cli.cmd_train(args)
+
+
+def test_freeze_stages_rejected_for_resnet34():
+    args = _parse(["train", "--backbone", "resnet34",
+                   "--freeze-trunk-stages", "2"])
+    with pytest.raises(SystemExit, match="VGG-16"):
+        cli.build_config(args)

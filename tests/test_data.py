@@ -211,3 +211,20 @@ def test_prefetch_releases_producer_on_early_exit():
 def test_voc_file_lists_missing_root_raises(tmp_path):
     with pytest.raises(FileNotFoundError, match="no VOC images"):
         voc.voc_file_lists(str(tmp_path / "nowhere"))
+
+
+def test_prefetch_propagates_loader_exceptions():
+    """A loader error mid-epoch must surface in the consumer, not truncate
+    the epoch silently."""
+    from objectdetection_ssd_tpu.data.pipeline import prefetch
+
+    def bad_iterator():
+        yield 1
+        yield 2
+        raise RuntimeError("corrupt example")
+
+    it = prefetch(bad_iterator())
+    assert next(it) == 1
+    assert next(it) == 2
+    with pytest.raises(RuntimeError, match="corrupt example"):
+        next(it)

@@ -403,3 +403,33 @@ def test_checkpoint_roundtrip_with_grad_accum(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(s1.params["Conv_0"]["kernel"]),
         np.asarray(s2.params["Conv_0"]["kernel"]))
+
+
+def test_grad_accum_schedule_counts_real_updates():
+    """StepLR's epoch clock must tick on optimizer updates, not loader
+    micro-batches: with accumulation N, N micro-steps advance the schedule
+    count once, so the decay still fires at the configured epoch."""
+    import jax.numpy as jnp
+
+    # steps_per_epoch as the Trainer computes it: ceil(loader_len / accum)
+    loader_len, accum = 6, 2
+    steps_per_epoch = -(-loader_len // accum)
+    cfg = OptimConfig(lr=1.0, use_lr_schedule=True, lr_decay_epochs=1,
+                      lr_decay_gamma=0.1, weight_decay=0.0, momentum=0.0,
+                      grad_accum_steps=accum)
+    tx = make_optimizer(cfg, steps_per_epoch=steps_per_epoch)
+    params = {"w": jnp.ones((2,))}
+    g = {"w": jnp.ones((2,))}
+    st = tx.init(params)
+    # First wall-clock epoch: 6 micro-steps = 3 real updates at lr 1.0.
+    updates = []
+    for _ in range(loader_len):
+        up, st = tx.update(g, st, params)
+        updates.append(float(up["w"][0]))
+    real = [u for u in updates if u != 0.0]
+    assert len(real) == accum * loader_len // accum // accum  # 3 updates
+    np.testing.assert_allclose(real, -1.0)       # epoch 0: lr 1.0
+    # Second epoch: schedule count has reached steps_per_epoch -> lr 0.1.
+    for _ in range(accum):
+        up, st = tx.update(g, st, params)
+    np.testing.assert_allclose(float(up["w"][0]), -0.1, rtol=1e-6)
