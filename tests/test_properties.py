@@ -93,14 +93,17 @@ def test_matcher_force_assigns_every_gt(boxes_xyxy, classes):
         jnp.ones((1, len(classes)), bool), priors_xyxy, 0.5)
     matched = np.asarray(m.matched_class[0])
     boxes = np.asarray(m.matched_box[0])
+    # Each GT's guaranteed claim is its best-IoU prior (the force-assign,
+    # reference `Losses.py:157-167`) — but a LATER GT whose best prior is
+    # the same slot steals it (last-object-wins, also reference semantics,
+    # pinned against the actual reference code in test_reference_parity).
+    iou = np.asarray(box_ops.pairwise_iou(
+        jnp.asarray(boxes_xyxy), priors_xyxy))            # (G, P)
+    best_prior = np.argmax(iou, axis=1)
     for g in range(len(classes)):
         rows = np.flatnonzero(
             (np.abs(boxes - boxes_xyxy[g]) < 1e-6).all(axis=1)
             & (matched == classes[g]))
-        # ties between identical GT boxes can merge claims; require the
-        # class+box pair to be represented unless an identical later GT
-        # overwrote it (last-wins, reference semantics)
-        later_identical = any(
-            np.allclose(boxes_xyxy[g2], boxes_xyxy[g]) and g2 > g
-            for g2 in range(len(classes)))
-        assert len(rows) > 0 or later_identical
+        stolen = any(best_prior[g2] == best_prior[g]
+                     for g2 in range(g + 1, len(classes)))
+        assert len(rows) > 0 or stolen
