@@ -107,3 +107,34 @@ def test_matcher_force_assigns_every_gt(boxes_xyxy, classes):
         stolen = any(best_prior[g2] == best_prior[g]
                      for g2 in range(g + 1, len(classes)))
         assert len(rows) > 0 or stolen
+
+
+@settings(**SETTINGS)
+@given(st.integers(0, 2**31 - 1))
+def test_train_transform_geometric_invariants(seed):
+    """Whatever the random draw, the augmentation pipeline must emit boxes
+    inside the output image, with positive extents, labels a subset of the
+    inputs, and box/label counts equal."""
+    from objectdetection_ssd_tpu.data import augment
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 255, (48, 64, 3)).astype(np.float32) / 255.0
+    boxes = np.asarray([[5.0, 6.0, 30.0, 28.0],
+                        [20.0, 10.0, 60.0, 44.0],
+                        [1.0, 1.0, 10.0, 9.0]], np.float32)
+    labels = np.asarray([2, 7, 11], np.int64)
+
+    out_img, out_boxes, out_labels = augment.train_transform(
+        img, boxes.copy(), labels.copy(), rng)
+
+    h, w = out_img.shape[:2]
+    assert len(out_boxes) == len(out_labels)
+    assert set(out_labels.tolist()) <= set(labels.tolist())
+    if len(out_boxes):
+        assert np.all(out_boxes[:, 0] < out_boxes[:, 2] + 1e-3)
+        assert np.all(out_boxes[:, 1] < out_boxes[:, 3] + 1e-3)
+        assert np.all(out_boxes[:, :2] >= -1.0 - 1e-3)   # flip math is x-1
+        assert np.all(out_boxes[:, 2] <= w + 1e-3)
+        assert np.all(out_boxes[:, 3] <= h + 1e-3)
+    assert np.isfinite(out_img).all()
+    assert out_img.min() >= -1e-3 and out_img.max() <= 1.0 + 1e-3
