@@ -99,13 +99,21 @@ class ExportedDetector:
     def __call__(self, images: np.ndarray) -> Detections:
         """(B, S, S, 3) preprocessed f32 images -> Detections.
 
-        B must equal the exported batch size (fixed-shape program); pad and
-        slice at the caller for ragged tails.
+        The exported program is fixed-shape at the compiled batch size; a
+        SMALLER batch is padded (repeating the last image) and the pad rows
+        sliced off the result, so callers only split batches LARGER than
+        the artifact's size.
         """
         b = self.meta["batch_size"]
-        if images.shape[0] != b:
+        n = images.shape[0]
+        if n > b:
             raise ValueError(
-                f"exported program takes batch={b}, got {images.shape[0]}; "
-                "pad/split upstream")
+                f"exported program takes batch<={b}, got {n}; split "
+                "upstream")
+        if n == 0:
+            raise ValueError("empty batch")
+        if n < b:
+            pad = np.repeat(images[-1:], b - n, axis=0)
+            images = np.concatenate([np.asarray(images), pad], axis=0)
         boxes, scores, classes, valid = self._call(jnp.asarray(images))
-        return Detections(boxes, scores, classes, valid)
+        return Detections(boxes[:n], scores[:n], classes[:n], valid[:n])

@@ -105,9 +105,21 @@ def test_http_serving_example(tmp_path, small_cfg, params):
         server.shutdown()
 
 
-def test_export_rejects_wrong_batch(tmp_path, small_cfg, params):
+def test_export_pads_short_batches_and_rejects_long(tmp_path, small_cfg,
+                                                    params):
     out = export_detector(small_cfg, params, str(tmp_path / "artifact"),
                           batch_size=2)
     served = ExportedDetector(out)
-    with pytest.raises(ValueError, match="batch=2"):
+    with pytest.raises(ValueError, match="batch<=2"):
         served(np.zeros((3, 300, 300, 3), np.float32))
+    with pytest.raises(ValueError, match="empty"):
+        served(np.zeros((0, 300, 300, 3), np.float32))
+    # a batch of 1 pads internally and returns exactly 1 row, identical to
+    # the same image run inside a full batch
+    img = np.random.default_rng(1).normal(
+        0, 0.5, (1, 300, 300, 3)).astype(np.float32)
+    d1 = served(img)
+    d2 = served(np.concatenate([img, img]))
+    assert d1.boxes_xyxy.shape[0] == 1
+    np.testing.assert_allclose(np.asarray(d1.scores[0]),
+                               np.asarray(d2.scores[0]), rtol=1e-6)
