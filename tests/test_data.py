@@ -228,3 +228,42 @@ def test_prefetch_propagates_loader_exceptions():
     assert next(it) == 2
     with pytest.raises(RuntimeError, match="corrupt example"):
         next(it)
+
+
+def test_parse_xml_malformed_inputs(tmp_path):
+    """Parser behavior on the weird-but-real VOC annotation shapes: unknown
+    labels skipped (DataLists.py:17), float coords truncated, zero objects
+    -> empty arrays; truly broken XML raises rather than returning garbage."""
+    from objectdetection_ssd_tpu.data.voc import parse_voc_xml
+
+    def write(name, body):
+        p = tmp_path / name
+        p.write_text(body)
+        return str(p)
+
+    # unknown label + float coords + missing difficult handled
+    boxes, classes, difficult = parse_voc_xml(write("a.xml", """
+<annotation><object><name>unicorn</name>
+  <bndbox><xmin>1</xmin><ymin>2</ymin><xmax>5</xmax><ymax>6</ymax></bndbox>
+</object><object><name>dog</name><difficult>1</difficult>
+  <bndbox><xmin>10.7</xmin><ymin>20.2</ymin><xmax>30.9</xmax><ymax>40.1</ymax></bndbox>
+</object></annotation>"""))
+    assert len(boxes) == 1 and len(classes) == 1
+    np.testing.assert_array_equal(boxes[0], [9, 19, 29, 39])  # int(), -1
+
+    # no objects at all -> empty, correctly shaped
+    boxes, classes, difficult = parse_voc_xml(
+        write("b.xml", "<annotation></annotation>"))
+    assert len(boxes) == 0 and len(classes) == 0 and len(difficult) == 0
+
+    # truncated XML raises loudly
+    with pytest.raises(Exception):
+        parse_voc_xml(write("c.xml", "<annotation><object><name>dog"))
+
+    # the native C++ parser agrees on the edge semantics
+    from objectdetection_ssd_tpu import native
+    if native.available():
+        nb, nc, nd = native.parse_voc_xml(str(tmp_path / "a.xml"))
+        np.testing.assert_array_equal(np.asarray(nb), [[9, 19, 29, 39]])
+        np.testing.assert_array_equal(np.asarray(nc), [11])
+        np.testing.assert_array_equal(np.asarray(nd), [True])
