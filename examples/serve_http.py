@@ -1,8 +1,12 @@
 """Minimal HTTP detection server over an exported artifact.
 
 Demonstrates the deployment story end to end: the serving host needs ONLY
-this file, the artifact directory from `cli export`, and jax — no model
-code, no torch, no training dependencies.
+this file, the artifact directory from `cli export`, jax, numpy, and PIL —
+no framework package, no Flax model definitions, no torch.  The loader
+below is intentionally inlined (~25 lines) rather than imported from
+`objectdetection_ssd_tpu.infer.export`, whose module pulls in the full
+framework; both read the same artifact format (meta.json format_version
+major 1).
 
     python -m objectdetection_ssd_tpu.cli export --checkpoint-dir ckpt \
         --out-dir artifact --serve-batch-size 1
@@ -23,7 +27,33 @@ import json
 import sys
 from http.server import BaseHTTPRequestHandler, HTTPServer
 
+import os
+
 import numpy as np
+
+
+class MinimalExportedDetector:
+    """Standalone artifact loader: jax + the meta.json contract, nothing else.
+
+    Mirrors `objectdetection_ssd_tpu.infer.export.ExportedDetector` (same
+    artifact directory, same outputs as a (boxes, scores, classes, valid)
+    tuple) without importing the framework.
+    """
+
+    def __init__(self, artifact_dir: str):
+        import jax
+        with open(os.path.join(artifact_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        version = str(self.meta.get("format_version", "1.0"))
+        if version.split(".")[0] != "1":
+            raise ValueError(f"unsupported artifact format_version {version}")
+        with open(os.path.join(artifact_dir, "program.jaxexport"), "rb") as f:
+            exported = jax.export.deserialize(bytearray(f.read()))
+        self._call = jax.jit(exported.call)
+
+    def __call__(self, images: np.ndarray):
+        """(batch_size, S, S, 3) f32 -> (boxes, scores, classes, valid)."""
+        return self._call(images)
 
 
 def build_handler(detector, classes):
@@ -50,9 +80,9 @@ def build_handler(detector, classes):
             arr = np.asarray(im.resize((size, size)), np.float32) / 255.0
             arr = (arr - mean) / std
             batch = np.broadcast_to(arr, (bs, size, size, 3)).copy()
-            dets = detector(batch)
-            valid = np.asarray(dets.valid[0])
-            boxes = np.asarray(dets.boxes_xyxy[0])[valid] * [w, h, w, h]
+            det_boxes, det_scores, det_classes, det_valid = detector(batch)
+            valid = np.asarray(det_valid[0])
+            boxes = np.asarray(det_boxes[0])[valid] * [w, h, w, h]
             out = {
                 "detections": [
                     {"box_xyxy": [round(float(v), 1) for v in b],
@@ -60,8 +90,8 @@ def build_handler(detector, classes):
                      "score": round(float(s), 4)}
                     for b, c, s in zip(
                         boxes,
-                        np.asarray(dets.classes[0])[valid],
-                        np.asarray(dets.scores[0])[valid])
+                        np.asarray(det_classes[0])[valid],
+                        np.asarray(det_scores[0])[valid])
                 ]
             }
             body = json.dumps(out).encode()
@@ -83,8 +113,7 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=8000)
     args = p.parse_args(argv)
 
-    from objectdetection_ssd_tpu.infer.export import ExportedDetector
-    det = ExportedDetector(args.artifact)
+    det = MinimalExportedDetector(args.artifact)
     handler = build_handler(det, det.meta["classes"])
     server = HTTPServer(("127.0.0.1", args.port), handler)
     print(f"serving on http://127.0.0.1:{args.port}/detect "

@@ -30,6 +30,10 @@ def _common_flags(p: argparse.ArgumentParser):
     p.add_argument("--backbone", choices=["vgg16", "resnet34"], default=None)
     p.add_argument("--parity-split", action="store_true",
                    help="replicate the reference's with-replacement val split")
+    p.add_argument("--allow-partial-voc", action="store_true",
+                   help="proceed when a whole VOC year's list file is "
+                        "missing (default: hard error — guards against "
+                        "silently training on a partial corpus)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 activations (params stay f32)")
     p.add_argument("--synthetic", action="store_true",
@@ -40,7 +44,9 @@ def _common_flags(p: argparse.ArgumentParser):
 def build_config(args) -> config_lib.Config:
     cfg = config_lib.Config()
     data_kw = {"voc_root": args.voc_root,
-               "parity_split": args.parity_split}
+               "parity_split": args.parity_split,
+               "allow_partial_voc": getattr(args, "allow_partial_voc",
+                                            False)}
     if args.batch_size is not None:
         data_kw["batch_size"] = args.batch_size
     if args.num_workers is not None:
@@ -78,7 +84,8 @@ def _load_split(cfg: config_lib.Config, args):
     if args.synthetic:
         synthetic.generate_voc(cfg.data.voc_root, num_2007=32, num_2012=16)
     records = voc.load_records(cfg.data.voc_root, train=True,
-                               num_workers=cfg.data.num_workers)
+                               num_workers=cfg.data.num_workers,
+                               allow_partial=cfg.data.allow_partial_voc)
     train_ids, val_ids = voc.train_val_split(
         len(records), cfg.data.val_fraction, cfg.data.split_seed,
         parity=cfg.data.parity_split)
@@ -127,8 +134,16 @@ def _load_init_weights(args, cfg):
 
 
 def cmd_train(args) -> int:
+    import jax
     from objectdetection_ssd_tpu.data.pipeline import Loader
+    from objectdetection_ssd_tpu.parallel import distributed
     from objectdetection_ssd_tpu.train.trainer import Trainer
+    # Multi-host: rendezvous BEFORE any device use (no-op on one host).
+    # After this, jax.devices() spans every process and the Trainer's
+    # default mesh covers the whole job (ICI within a slice, DCN across).
+    distributed.initialize()
+    shard = ((jax.process_index(), jax.process_count())
+             if jax.process_count() > 1 else None)
     cfg = build_config(args)
     if args.epochs is not None:
         cfg = cfg.replace(train=dataclasses.replace(
@@ -157,6 +172,15 @@ def cmd_train(args) -> int:
                 return
             params = trainer.state.params
             stats = trainer.state.batch_stats
+            if jax.process_count() > 1:
+                # Primary-only side eval: detection runs on this process's
+                # local device, so pull the (replicated) params to host
+                # first — global-mesh arrays can't enter a local jit.
+                if jax.process_index() != 0:
+                    return
+                params = jax.tree_util.tree_map(np.asarray, params)
+                stats = (jax.tree_util.tree_map(np.asarray, stats)
+                         if stats is not None else None)
             if not cached_detector:
                 cached_detector.append(Detector(
                     cfg, params, stats,
@@ -168,11 +192,11 @@ def cmd_train(args) -> int:
             print(f"epoch {epoch}: val mAP = {mean_ap:.4f}")
     train_loader = Loader(train_recs, cfg.data, cfg.model.image_size,
                           train=True, seed=cfg.train.seed,
-                          cache_path=args.image_cache)
+                          cache_path=args.image_cache, shard=shard)
     # The loss-eval phase pads tail batches to the static batch shape
     # (Trainer._run_phase) so every val image is covered.
     eval_loader = Loader(val_recs, cfg.data, cfg.model.image_size,
-                         train=False, drop_last=False)
+                         train=False, drop_last=False, shard=shard)
     trainer = Trainer(cfg, train_loader, eval_loader,
                       epoch_callback=epoch_callback,
                       init_params=init_params,

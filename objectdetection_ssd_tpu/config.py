@@ -149,6 +149,9 @@ class DataConfig:
     # yielding slightly <10% unique val ids. Fixed by default; set True for
     # byte-exact split parity.
     parity_split: bool = False
+    # A missing VOC year's list file is a hard error unless this opts in
+    # (deliberate single-year experiments); see data/voc.py:voc_file_lists.
+    allow_partial_voc: bool = False
     augment: bool = True
     # Use the native C++ augmentation pipeline (native/src/voc_native.cpp)
     # when built: ~10x faster per image than the numpy path, same transform

@@ -21,9 +21,16 @@ the host (SURVEY.md §7 "hard parts"); only the final fixed-size (300, 300)
 image and padded box tensors reach the device.
 
 Images here are float32 RGB in [0, 1], HWC; boxes absolute-pixel xyxy.
-The photometric ops implement torchvision's blend formulas
-(out = f * img + (1 - f) * degenerate) so behavior matches the reference's
-`FT.adjust_*` calls.
+The brightness/contrast/saturation ops implement torchvision's blend
+formulas (out = f * img + (1 - f) * degenerate), matching the reference's
+`FT.adjust_brightness/contrast/saturation`.  Hue is the SAME transform in a
+different number stream: torchvision's `FT.adjust_hue` quantizes through
+PIL's uint8 HSV representation, while `adjust_hue` here is a float RGB->HSV
+->RGB roundtrip — continuous-hue semantics without the uint8 rounding.
+Randomized augmentation does not need bit-parity (the native C++ pipeline
+already draws from its own deterministic stream); the contract tests pin
+identity at delta=0, period 1, and the exact hue rotation on saturated
+colors instead.
 """
 
 from __future__ import annotations

@@ -22,7 +22,7 @@ import multiprocessing
 import queue
 import threading
 from concurrent.futures import ProcessPoolExecutor
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -120,11 +120,17 @@ def prepare_example(record: ImageRecord, image_size: int,
                    rec.image_id)
 
 
-def collate(examples: Sequence[Example], max_boxes: int
-            ) -> Dict[str, np.ndarray]:
-    """Stack examples into one dense padded batch."""
+def collate(examples: Sequence[Example], max_boxes: int,
+            image_size: Optional[int] = None) -> Dict[str, np.ndarray]:
+    """Stack examples into one dense padded batch.
+
+    ``image_size`` makes an EMPTY example list collatable (a sharded
+    loader's slice of a short tail batch can hold zero rows).
+    """
     bs = len(examples)
-    s = examples[0].image.shape[0]
+    if bs == 0 and image_size is None:
+        raise ValueError("empty example list needs an explicit image_size")
+    s = examples[0].image.shape[0] if examples else image_size
     batch = {
         "images": np.zeros((bs, s, s, 3), np.float32),
         "boxes": np.zeros((bs, max_boxes, 4), np.float32),
@@ -156,7 +162,16 @@ class Loader:
     def __init__(self, records: List[ImageRecord], config: DataConfig,
                  image_size: int = 300, train: bool = True,
                  seed: int = 0, drop_last: Optional[bool] = None,
-                 cache_path: Optional[str] = None):
+                 cache_path: Optional[str] = None,
+                 shard: Optional[Tuple[int, int]] = None):
+        """``shard=(index, count)``: multi-host mode — this process prepares
+        only rows ``[index*b/count, (index+1)*b/count)`` of every global
+        batch (same (seed, epoch) permutation on every host, so the global
+        batch is consistent; `parallel.mesh.shard_batch` assembles the
+        global device array from each host's slice).  Batches then carry a
+        ``global_size`` scalar with the REAL global row count so the
+        consumer can weight metrics correctly on tail batches.
+        """
         self.records = records
         self.config = config
         self.image_size = image_size
@@ -164,6 +179,15 @@ class Loader:
         self.seed = seed
         self.drop_last = train if drop_last is None else drop_last
         self.cache_path = cache_path
+        self.shard = shard
+        if shard is not None:
+            idx, cnt = shard
+            if not (0 <= idx < cnt):
+                raise ValueError(f"bad shard {shard}")
+            if config.batch_size % cnt:
+                raise ValueError(
+                    f"global batch {config.batch_size} not divisible by "
+                    f"{cnt} processes")
         if cache_path is not None:
             from objectdetection_ssd_tpu.data import cache as cache_lib
             cache_lib.build([r.image_path for r in records], cache_path,
@@ -190,7 +214,12 @@ class Loader:
         n_batches = len(self)
         for bi in range(n_batches):
             idx = order[bi * b:(bi + 1) * b]
+            n_global = len(idx)
             augment_now = self.train and self.config.augment
+            # Seeds are drawn for the FULL global batch before any shard
+            # slicing, so every host consumes the rng identically and a
+            # sharded run prepares bit-identical examples to the
+            # single-host run for the rows it owns.
             args = [
                 (self.records[i], self.image_size, augment_now,
                  self.config.keep_difficult,
@@ -199,11 +228,19 @@ class Loader:
                  self.config.use_native_augment)
                 for i in idx
             ]
+            if self.shard is not None:
+                si, sn = self.shard
+                per = b // sn
+                args = args[si * per:(si + 1) * per]
             if self._pool is not None:
                 examples = list(self._pool.map(_prepare_star, args))
             else:
                 examples = [prepare_example(*a) for a in args]
-            yield collate(examples, self.config.max_boxes)
+            batch = collate(examples, self.config.max_boxes,
+                            image_size=self.image_size)
+            if self.shard is not None:
+                batch["global_size"] = np.int32(n_global)
+            yield batch
 
     def close(self):
         if self._pool is not None:

@@ -80,9 +80,17 @@ def _read_ids(path: str) -> List[str]:
         return [line.split()[0] for line in f if line.strip()]
 
 
-def voc_file_lists(voc_root: str, train: bool = True
+def voc_file_lists(voc_root: str, train: bool = True,
+                   allow_partial: bool = False
                    ) -> Tuple[List[str], List[str]]:
-    """(image_paths, xml_paths) for VOC07+12 trainval (or VOC12 test)."""
+    """(image_paths, xml_paths) for VOC07+12 trainval (or VOC12 test).
+
+    A missing year's list file is a HARD error by default: a typo'd root or
+    half-downloaded dataset must not silently train on a partial corpus
+    (a warning in a log stream is easy to miss on a long run).  Pass
+    ``allow_partial=True`` (CLI ``--allow-partial-voc``) to proceed on the
+    years that are present — e.g. a deliberate VOC2007-only experiment.
+    """
     images, xmls = [], []
     if train:
         years = [("VOC2007", "trainval.txt", "{:06d}"),
@@ -94,18 +102,24 @@ def voc_file_lists(voc_root: str, train: bool = True
         base = os.path.join(voc_root, year)
         ids_file = os.path.join(base, "ImageSets", "Main", list_name)
         if not os.path.exists(ids_file):
-            # A wrong --voc-root or a half-downloaded dataset must not
-            # silently train on a partial corpus (round-1 advisor finding).
             missing.append(ids_file)
+            if not allow_partial:
+                continue  # collected; raised below with the full list
             import logging
             logging.getLogger("objectdetection_ssd_tpu").warning(
-                "VOC list file missing: %s — skipping %s", ids_file, year)
+                "VOC list file missing: %s — skipping %s "
+                "(--allow-partial-voc)", ids_file, year)
             continue
         for raw in _read_ids(ids_file):
             # 2007 ids are ints needing zero-padding (`DataLists.py:41`).
             sid = fmt.format(int(raw)) if fmt == "{:06d}" else raw
             images.append(os.path.join(base, "JPEGImages", sid + ".jpg"))
             xmls.append(os.path.join(base, "Annotations", sid + ".xml"))
+    if missing and not allow_partial:
+        raise FileNotFoundError(
+            f"VOC list file(s) missing under {voc_root!r}: {missing} — "
+            "fix the dataset root, or pass allow_partial=True "
+            "(--allow-partial-voc) to train on the years present")
     if not images:
         raise FileNotFoundError(
             f"no VOC images found under {voc_root!r}: "
@@ -126,9 +140,10 @@ def _best_parser():
 
 
 def load_records(voc_root: str, train: bool = True,
-                 num_workers: int = 0) -> List[ImageRecord]:
+                 num_workers: int = 0,
+                 allow_partial: bool = False) -> List[ImageRecord]:
     """Parse all annotations into ImageRecords (parallel across processes)."""
-    images, xmls = voc_file_lists(voc_root, train)
+    images, xmls = voc_file_lists(voc_root, train, allow_partial)
     parser = _best_parser()
     if num_workers and len(xmls) > 64:
         import multiprocessing
@@ -150,8 +165,12 @@ def train_val_split(n: int, val_fraction: float = 0.1, seed: int = 10,
 
     Default: without-replacement permutation split.  ``parity=True``
     replicates the reference's torch.randint-with-replacement sampling
-    (`train.py:13-19`) bit-for-bit, including duplicate val draws (val ids
-    deduplicated, order preserved as torch emits them).
+    (`train.py:13-19`) bit-for-bit: val ids are returned WITH duplicates in
+    torch's emission order — the reference's val dataset really does contain
+    duplicate entries (`train.py:33-38`), and preserving the multiset keeps
+    epoch-loss weighting and mAP over a duplicated image identical to a true
+    replication.  Train is the complement of the val id SET, ascending
+    (the reference builds it with an ordered comprehension, `train.py:16-19`).
     """
     n_val = int(n * val_fraction)
     if parity:
@@ -161,7 +180,7 @@ def train_val_split(n: int, val_fraction: float = 0.1, seed: int = 10,
         val_set = set(val)
         train = np.asarray([i for i in range(n) if i not in val_set],
                            np.int64)
-        return train, np.asarray(sorted(val_set), np.int64)
+        return train, np.asarray(val, np.int64)
     rng = np.random.default_rng(seed)
     perm = rng.permutation(n)
     return np.sort(perm[n_val:]), np.sort(perm[:n_val])

@@ -84,8 +84,9 @@ class Detector:
             self._infer = jax.jit(_infer)
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
+            from objectdetection_ssd_tpu.parallel import mesh as mesh_lib
             repl = NamedSharding(mesh, P())
-            data = NamedSharding(mesh, P("data"))
+            data = mesh_lib.batch_sharding(mesh)
             self._infer = jax.jit(
                 _infer, in_shardings=(repl, repl, data), out_shardings=data)
 
@@ -99,12 +100,13 @@ class Detector:
         (the reference rescales with the on-disk image size,
         `Losses.py:87-89`).
 
-        Runs in fixed-size chunks of ``batch_size`` (tail padded by
-        repetition) so the jitted program compiles ONCE regardless of how
-        many images are passed — every distinct batch shape is a separate
-        XLA compilation."""
+        Runs in fixed-size chunks of exactly ``batch_size`` (short batches
+        and the tail padded by repetition) so the jitted program compiles
+        ONCE regardless of how many images are passed — every distinct
+        batch shape is a separate XLA compilation, so a serving loop that
+        alternates 3- and 5-image calls must still hit one shape."""
         size = self.config.model.image_size
-        bs = min(batch_size, max(len(paths), 1))
+        bs = batch_size
         out: List[Dict[str, np.ndarray]] = []
         for start in range(0, len(paths), bs):
             chunk = paths[start:start + bs]

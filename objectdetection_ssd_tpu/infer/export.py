@@ -32,6 +32,11 @@ from objectdetection_ssd_tpu.ops import priors as priors_lib
 
 _PROGRAM = "program.jaxexport"
 _META = "meta.json"
+# Artifact format version. Bump on any layout/semantics change; loaders
+# refuse artifacts from a DIFFERENT major so a stale serving host fails
+# loudly instead of mis-parsing (the StableHLO program itself is already
+# versioned/forward-compatible by jax.export).
+FORMAT_VERSION = "1.0"
 
 
 def export_detector(config: Config, params: Any, out_dir: str,
@@ -76,6 +81,7 @@ def export_detector(config: Config, params: Any, out_dir: str,
         f.write(exported.serialize())
     with open(os.path.join(out_dir, _META), "w") as f:
         json.dump({
+            "format_version": FORMAT_VERSION,
             "batch_size": batch_size,
             "image_size": size,
             "top_k": pp_cfg.top_k,
@@ -94,26 +100,47 @@ class ExportedDetector:
             self.exported = jax.export.deserialize(bytearray(f.read()))
         with open(os.path.join(artifact_dir, _META)) as f:
             self.meta = json.load(f)
+        check_format_version(self.meta)
         self._call = jax.jit(self.exported.call)
 
     def __call__(self, images: np.ndarray) -> Detections:
         """(B, S, S, 3) preprocessed f32 images -> Detections.
 
-        The exported program is fixed-shape at the compiled batch size; a
-        SMALLER batch is padded (repeating the last image) and the pad rows
-        sliced off the result, so callers only split batches LARGER than
-        the artifact's size.
+        The exported program is fixed-shape at the compiled batch size;
+        any caller batch size works: SMALLER batches are padded (repeating
+        the last image) and LARGER ones run in compiled-size chunks, with
+        the results re-stacked — one XLA program serves every call.
         """
         b = self.meta["batch_size"]
+        images = np.asarray(images)
         n = images.shape[0]
-        if n > b:
-            raise ValueError(
-                f"exported program takes batch<={b}, got {n}; split "
-                "upstream")
         if n == 0:
             raise ValueError("empty batch")
-        if n < b:
-            pad = np.repeat(images[-1:], b - n, axis=0)
-            images = np.concatenate([np.asarray(images), pad], axis=0)
-        boxes, scores, classes, valid = self._call(jnp.asarray(images))
+        outs = []
+        for start in range(0, n, b):
+            chunk = images[start:start + b]
+            if chunk.shape[0] < b:
+                pad = np.repeat(chunk[-1:], b - chunk.shape[0], axis=0)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            outs.append(self._call(jnp.asarray(chunk)))
+        if len(outs) == 1:
+            boxes, scores, classes, valid = outs[0]
+        else:
+            boxes, scores, classes, valid = (
+                jnp.concatenate([o[i] for o in outs], axis=0)
+                for i in range(4))
         return Detections(boxes[:n], scores[:n], classes[:n], valid[:n])
+
+
+def check_format_version(meta: dict) -> None:
+    """Refuse artifacts whose major format version differs from ours.
+
+    Pre-versioning artifacts (no ``format_version`` key) are treated as
+    major 1 — the layout is identical.
+    """
+    found = str(meta.get("format_version", "1.0"))
+    if found.split(".")[0] != FORMAT_VERSION.split(".")[0]:
+        raise ValueError(
+            f"artifact format_version {found} is incompatible with this "
+            f"loader (supports major {FORMAT_VERSION.split('.')[0]}); "
+            "re-export the artifact or upgrade the serving host")

@@ -30,14 +30,28 @@ def initialize(coordinator_address: Optional[str] = None,
     """`jax.distributed.initialize` with environment auto-detection.
 
     On TPU pods the arguments are discovered from the runtime (pass
-    nothing); explicit values are for CPU/GPU clusters or tests.  Safe to
-    call on a single host: if no coordinator is configured and the
-    environment carries no multi-process hints, this is a no-op.
+    nothing); explicit values are for CPU/GPU clusters or tests.  A plain
+    (non-TPU, non-SLURM) cluster can configure the job through env vars
+    instead of code: COORDINATOR_ADDRESS + NUM_PROCESSES + PROCESS_ID —
+    the same `cli.py train` invocation then runs unchanged on 1 or N
+    hosts.  Safe to call on a single host: if no coordinator is configured
+    and the environment carries no multi-process hints, this is a no-op.
     """
-    multi_process_env = any(
-        os.environ.get(k) for k in
-        ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
-         "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES"))
+    env = os.environ
+    if coordinator_address is None:
+        coordinator_address = env.get("COORDINATOR_ADDRESS")
+    if num_processes is None and env.get("NUM_PROCESSES"):
+        num_processes = int(env["NUM_PROCESSES"])
+    if process_id is None and env.get("PROCESS_ID"):
+        process_id = int(env["PROCESS_ID"])
+    # TPU_WORKER_HOSTNAMES counts as a multi-process hint only when it
+    # names MORE THAN ONE host: single-host TPU runtimes (including the
+    # axon relay) set it to one hostname, and auto-detecting there would
+    # call jax.distributed.initialize with no coordinator and fail.
+    multi_process_env = (
+        any(env.get(k) for k in ("JAX_COORDINATOR_ADDRESS",
+                                 "MEGASCALE_COORDINATOR_ADDRESS"))
+        or "," in env.get("TPU_WORKER_HOSTNAMES", ""))
     if coordinator_address is None and not multi_process_env:
         return
     jax.distributed.initialize(

@@ -32,18 +32,44 @@ def create_mesh(mesh_shape: Optional[Tuple[int, ...]] = None,
     return Mesh(arr, axis_names)
 
 
-def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    """Shard the leading (batch) dim over ``axis``; everything else local."""
-    return NamedSharding(mesh, P(axis))
+def batch_axes(mesh: Mesh) -> Tuple[str, ...]:
+    """Mesh axes the batch's leading dim shards over.
+
+    Every non-trivial axis named ``data`` or ``fsdp`` carries batch rows:
+    the fsdp axis gathers params at use (ZeRO-3), but each device along it
+    still computes DISTINCT examples — sharding the batch over ``data``
+    only would replicate work (and double per-chip activation memory)
+    across the fsdp axis.
+    """
+    return tuple(a for a in ("data", "fsdp")
+                 if a in mesh.axis_names and mesh.shape[a] > 1)
+
+
+def batch_sharding(mesh: Mesh, axis: Optional[str] = None) -> NamedSharding:
+    """Shard the leading (batch) dim over the mesh's batch axes (or one
+    explicit ``axis``); everything else local."""
+    axes = (axis,) if axis is not None else batch_axes(mesh)
+    return NamedSharding(mesh, P(axes) if axes else P())
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
-    """Device-put a host batch with its leading dim sharded over ``axis``."""
+def shard_batch(batch: Any, mesh: Mesh, axis: Optional[str] = None) -> Any:
+    """Put a host batch on the mesh with its leading dim sharded.
+
+    Multi-host aware: with ``jax.process_count() > 1`` the input is this
+    process's LOCAL rows (see `parallel.distributed.local_shard_bounds`)
+    and the global array is assembled from every process's contribution
+    via `jax.make_array_from_process_local_data`; on one process it is a
+    plain device_put of the full batch.
+    """
     sharding = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)
 
@@ -56,12 +82,15 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
 
 
 def local_batch_size(global_batch_size: int, mesh: Mesh,
-                     axis: str = "data") -> int:
-    n = mesh.shape[axis]
+                     axis: Optional[str] = None) -> int:
+    axes = (axis,) if axis is not None else batch_axes(mesh)
+    n = 1
+    for a in axes:
+        n *= mesh.shape[a]
     if global_batch_size % n:
         raise ValueError(
             f"global batch {global_batch_size} not divisible by "
-            f"mesh axis '{axis}' size {n}")
+            f"batch mesh axes {axes} (total {n} ways)")
     return global_batch_size // n
 
 
@@ -73,11 +102,14 @@ def fsdp_sharding_for(x: jax.Array, mesh: Mesh,
     This is parameter sharding in the ZeRO-3/FSDP sense: each device holds
     1/N of every (large) weight; XLA inserts the all-gather before use and
     the reduce-scatter on the gradient automatically because the jitted
-    step's in_shardings pin the param layout.  For this model family
-    (~100M params, f32 + momentum = ~0.8 GB state) FSDP is about fitting
-    LARGER BATCHES per chip, not necessity — data-parallel remains the
-    default (SURVEY.md §5); the axis exists so the mesh layer scales to
-    models where it is one.
+    step's in_shardings pin the param layout.  The batch is sharded over
+    the fsdp axis too (`batch_axes`) — the standard ZeRO-3 arrangement
+    where every device computes distinct examples and params are gathered
+    over fsdp — so --fsdp trades a little gather/scatter traffic for
+    1/N param+momentum bytes per chip at the same per-chip batch.  For
+    this model family (~0.8 GB state) that saving is modest; data-parallel
+    remains the default (SURVEY.md §5); the axis exists so the mesh layer
+    scales to models where it is essential.
     """
     n = mesh.shape[axis]
     if n == 1:

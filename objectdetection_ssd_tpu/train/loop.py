@@ -107,8 +107,11 @@ def make_jitted_steps(priors: jnp.ndarray, loss_config: LossConfig,
         return (jax.jit(t_step, donate_argnums=(0,) if donate else ()),
                 jax.jit(e_step))
 
+    from objectdetection_ssd_tpu.parallel import mesh as mesh_lib
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
+    # Batch rows spread over BOTH data and fsdp axes (ZeRO-3: params
+    # gathered over fsdp, every device computes distinct examples).
+    data = mesh_lib.batch_sharding(mesh)
     state_shard = state_sharding if state_sharding is not None else repl
     metrics_repl = repl
     jit_train = jax.jit(

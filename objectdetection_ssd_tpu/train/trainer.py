@@ -53,6 +53,20 @@ class Trainer:
         # device_put error deep inside the first step).
         mesh_lib.local_batch_size(config.data.batch_size, self.mesh)
 
+        # Multi-host: every host feeds only its rows of the global batch
+        # (`Loader(shard=...)` + `mesh.shard_batch`'s process-local
+        # assembly).  A loader without the matching shard would device_put
+        # rows this host doesn't own — fail fast instead.
+        self._n_proc = jax.process_count()
+        if self._n_proc > 1:
+            want = (jax.process_index(), self._n_proc)
+            for name, ld in (("train", train_loader), ("eval", eval_loader)):
+                if ld is not None and getattr(ld, "shard", None) != want:
+                    raise ValueError(
+                        f"{name}_loader must be built with shard={want} "
+                        f"when running {self._n_proc} processes "
+                        "(see data/pipeline.py:Loader)")
+
         self.model = model if model is not None else build_model(config.model)
         self.priors = (jax.numpy.asarray(priors) if priors is not None else
                        jax.numpy.asarray(priors_lib.priors_for_model(
@@ -97,8 +111,12 @@ class Trainer:
             max_to_keep=config.train.max_checkpoints_to_keep)
         self.start_epoch = 0
         self.history: Dict[str, List[float]] = {"train": [], "test": []}
+        # TensorBoard writes are primary-process-only (every process would
+        # otherwise write a clashing event file).  Checkpoint saves stay
+        # collective: orbax's multi-host protocol has every process write
+        # its addressable shards and the primary commit the metadata.
         self.tb = None
-        if config.train.tensorboard_dir:
+        if config.train.tensorboard_dir and jax.process_index() == 0:
             from objectdetection_ssd_tpu.utils.metrics import TensorBoardWriter
             self.tb = TensorBoardWriter(config.train.tensorboard_dir)
 
@@ -126,17 +144,22 @@ class Trainer:
                              on_log=on_log)
         n_images = 0
         full_bs = loader.config.batch_size
+        # Each process holds 1/n_proc of every global batch's rows
+        # (Loader(shard=...)); on one process local == global.
+        local_full = full_bs // self._n_proc
         for batch in prefetch(loader.epoch(epoch)):
-            bs = batch["images"].shape[0]
+            # Real GLOBAL row count (metric weighting); == local shape[0]
+            # on a single process.
+            gbs = int(batch.pop("global_size", batch["images"].shape[0]))
             batch = {k: v for k, v in batch.items() if k != "image_ids"}
-            if bs < full_bs:
+            if batch["images"].shape[0] < local_full:
                 # Pad the tail batch to the static batch shape (one XLA
                 # compilation, mesh-divisible).  Padded images carry an
                 # all-false GT mask, so they contribute zero positives and
                 # zero hard negatives — the batch loss is exactly the loss
                 # over the real images (the reference evaluates its full
                 # held-out phase, `train_function.py:47-52`).
-                pad = full_bs - bs
+                pad = local_full - batch["images"].shape[0]
                 batch = {k: np.concatenate(
                     [v, np.zeros((pad,) + v.shape[1:], v.dtype)])
                     for k, v in batch.items()}
@@ -148,8 +171,8 @@ class Trainer:
             # No per-step host pull: metrics stay device-resident so steps
             # pipeline with the next batch's host prep + H2D copy; MetricsLogger
             # syncs only on its log cadence and at epoch end.
-            mlog.update(metrics, bs)
-            n_images += bs
+            mlog.update(metrics, gbs)
+            n_images += gbs
         if n_images == 0:
             logger.warning("epoch %d [%s] had no full batches "
                            "(%d records < batch size?)", epoch, phase,

@@ -71,8 +71,52 @@ def test_split_parity_mode_matches_torch():
     tr, va = voc.train_val_split(100, 0.1, seed=10, parity=True)
     torch.random.manual_seed(10)
     want = torch.randint(0, 100, (10,)).tolist()
-    assert set(va.tolist()) == set(want)
+    # Exact multiset AND order: the reference's val dataset keeps the
+    # with-replacement duplicates as real entries (`train.py:14,33-38`).
+    assert va.tolist() == want
     assert len(np.intersect1d(tr, va)) == 0
+    # Train is the ascending complement of the val id set.
+    assert tr.tolist() == [i for i in range(100) if i not in set(want)]
+
+
+def test_split_parity_mode_preserves_duplicates():
+    import torch
+    # Find a (seed, n) draw with a duplicate to pin multiset semantics.
+    for seed in range(50):
+        torch.random.manual_seed(seed)
+        want = torch.randint(0, 30, (10,)).tolist()
+        if len(set(want)) < len(want):
+            break
+    else:
+        raise AssertionError("no duplicate draw found — widen the search")
+    _, va = voc.train_val_split(30, 1 / 3, seed=seed, parity=True)
+    assert va.tolist() == want and len(set(va.tolist())) < len(va)
+
+
+def test_adjust_hue_contract():
+    """Pin adjust_hue's semantics (float HSV roundtrip — see the module
+    docstring for the deliberate divergence from torchvision's uint8 path):
+    identity at delta=0, periodicity 1, exact rotation on saturated colors,
+    gray invariance, and value/saturation preservation."""
+    rng = np.random.default_rng(7)
+    img = rng.random((13, 17, 3)).astype(np.float32)
+    # delta = 0 and delta = 1 are identities (hue is modular in turns).
+    np.testing.assert_allclose(augment.adjust_hue(img, 0.0), img, atol=1e-5)
+    np.testing.assert_allclose(augment.adjust_hue(img, 1.0), img, atol=1e-5)
+    # A third-turn shift cycles the primaries: red -> green -> blue -> red.
+    prim = np.asarray([[[1, 0, 0], [0, 1, 0], [0, 0, 1]]], np.float32)
+    np.testing.assert_allclose(
+        augment.adjust_hue(prim, 1 / 3),
+        np.asarray([[[0, 1, 0], [0, 0, 1], [1, 0, 0]]], np.float32),
+        atol=1e-5)
+    # Gray pixels carry no hue: any shift is a no-op.
+    gray = np.full((4, 4, 3), 0.37, np.float32)
+    np.testing.assert_allclose(augment.adjust_hue(gray, 0.23), gray,
+                               atol=1e-5)
+    # Hue shifts preserve per-pixel max (value) and min (via saturation).
+    out = augment.adjust_hue(img, 0.23)
+    np.testing.assert_allclose(out.max(-1), img.max(-1), atol=1e-5)
+    np.testing.assert_allclose(out.min(-1), img.min(-1), atol=1e-5)
 
 
 def test_hflip_reference_math():
@@ -209,8 +253,23 @@ def test_prefetch_releases_producer_on_early_exit():
 
 
 def test_voc_file_lists_missing_root_raises(tmp_path):
-    with pytest.raises(FileNotFoundError, match="no VOC images"):
+    with pytest.raises(FileNotFoundError):
         voc.voc_file_lists(str(tmp_path / "nowhere"))
+
+
+def test_voc_file_lists_missing_year_is_hard_error(tmp_path):
+    """One present year + one missing year must raise (silent partial-corpus
+    training hazard) unless allow_partial=True opts in explicitly."""
+    from objectdetection_ssd_tpu.data import synthetic
+    root = tmp_path / "voc"
+    synthetic.generate_voc(str(root), num_2007=3, num_2012=0, seed=0)
+    import shutil
+    shutil.rmtree(root / "VOC2012")
+    with pytest.raises(FileNotFoundError, match="allow-partial-voc"):
+        voc.voc_file_lists(str(root), train=True)
+    images, xmls = voc.voc_file_lists(str(root), train=True,
+                                      allow_partial=True)
+    assert len(images) == 3 and all("VOC2007" in p for p in images)
 
 
 def test_prefetch_propagates_loader_exceptions():

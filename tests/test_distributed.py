@@ -9,9 +9,14 @@ from objectdetection_ssd_tpu.parallel import distributed, mesh as mesh_lib
 
 def test_initialize_noop_single_host(monkeypatch):
     for k in ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
-              "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES"):
+              "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+              "NUM_PROCESSES", "PROCESS_ID"):
         monkeypatch.delenv(k, raising=False)
     distributed.initialize()  # must not raise or block
+    # Single-host TPU runtimes set TPU_WORKER_HOSTNAMES to ONE hostname —
+    # still a no-op (only a multi-host list is a rendezvous hint).
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    distributed.initialize()
 
 
 def test_global_mesh_covers_all_devices():

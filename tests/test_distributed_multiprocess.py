@@ -56,6 +56,123 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+# One Trainer run: sharded Loader -> process-local batch rows ->
+# mesh.shard_batch global-array assembly -> jitted train/eval steps over the
+# global mesh -> orbax checkpoint (collective).  Run with nproc=2 (two real
+# processes, 2 virtual CPU devices each) and nproc=1 (one process, 4
+# devices): the epoch losses must be identical — the multi-host path is the
+# SAME computation, only fed differently.
+_TRAINER_CHILD = """
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+port, pid, nproc = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+repo, root, ckpt = sys.argv[4], sys.argv[5], sys.argv[6]
+sys.path.insert(0, repo)
+from objectdetection_ssd_tpu.parallel import distributed
+if nproc > 1:
+    distributed.initialize(f"localhost:{port}", num_processes=nproc,
+                           process_id=pid)
+assert jax.process_count() == nproc and len(jax.devices()) == 4
+
+import numpy as np
+from objectdetection_ssd_tpu.config import (Config, DataConfig, ModelConfig,
+                                            OptimConfig, TrainConfig)
+from objectdetection_ssd_tpu.data import synthetic, voc
+from objectdetection_ssd_tpu.data.pipeline import Loader
+from objectdetection_ssd_tpu.train.trainer import Trainer
+from tests.test_end_to_end import TinyDet, _tiny_priors
+
+# Deterministic fixture: every process generates identical data in its own
+# directory (no cross-process write races).
+synthetic.generate_voc(root, num_2007=20, num_2012=0, image_size=(96, 96),
+                       seed=7)
+records = voc.load_records(root, train=True)
+assert len(records) == 20
+
+cfg = Config(
+    model=ModelConfig(image_size=64),
+    data=DataConfig(voc_root=root, batch_size=8, num_workers=0, max_boxes=8,
+                    augment=False),
+    optim=OptimConfig(lr=0.01, use_lr_schedule=False),
+    train=TrainConfig(num_epochs=2, seed=0, checkpoint_dir=ckpt,
+                      log_every_steps=0),
+)
+shard = (pid, nproc) if nproc > 1 else None
+train_loader = Loader(records[:16], cfg.data, 64, train=True, seed=0,
+                      shard=shard)
+# 4 eval records over a global batch of 8 (drop_last=False): a tail batch
+# whose proc-1 slice is EMPTY — exercises zero-row collate + padding.
+eval_loader = Loader(records[16:], cfg.data, 64, train=False,
+                     drop_last=False, shard=shard)
+trainer = Trainer(cfg, train_loader, eval_loader, model=TinyDet(),
+                  priors=_tiny_priors())
+state = trainer.fit()
+assert int(state.step) == 2 * len(train_loader)
+tr = ",".join(f"{x:.6f}" for x in trainer.history["train"])
+te = ",".join(f"{x:.6f}" for x in trainer.history["test"])
+print(f"proc {pid} RESULT train=[{tr}] test=[{te}]")
+"""
+
+
+def _run_trainer_children(nproc, local_devices, tmp_path, tag):
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "PYTHONPATH")}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={local_devices}")
+    ckpt = os.path.join(str(tmp_path), f"ckpt_{tag}")
+    procs = []
+    for pid in range(nproc):
+        root = os.path.join(str(tmp_path), f"voc_{tag}_{pid}")
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", _TRAINER_CHILD, str(port), str(pid),
+             str(nproc), REPO, root, ckpt],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail(f"{tag} trainer children timed out; outputs: "
+                    + "\n".join(outs))
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"{tag} proc {pid} failed:\n{out}"
+    return outs
+
+
+def _parse_losses(out, pid):
+    import re
+    m = re.search(rf"proc {pid} RESULT train=\[([^\]]*)\] test=\[([^\]]*)\]",
+                  out)
+    assert m, out
+    return ([float(x) for x in m.group(1).split(",")],
+            [float(x) for x in m.group(2).split(",")])
+
+
+@pytest.mark.slow
+def test_two_process_trainer_matches_single_process(tmp_path):
+    """End-to-end multi-host training correctness: the full Trainer
+    (sharded loaders, global-array batch assembly, jitted steps, collective
+    orbax checkpointing) across 2 real processes produces epoch losses
+    identical to the single-process run of the same job (VERDICT round-2
+    task 1)."""
+    outs2 = _run_trainer_children(2, 2, tmp_path, "two")
+    outs1 = _run_trainer_children(1, 4, tmp_path, "one")
+    ref_train, ref_test = _parse_losses(outs1[0], 0)
+    for pid in (0, 1):
+        tr, te = _parse_losses(outs2[pid], pid)
+        assert tr == pytest.approx(ref_train, rel=2e-5), (tr, ref_train)
+        assert te == pytest.approx(ref_test, rel=2e-5), (te, ref_test)
+    # the 2-process job wrote a usable (collective) checkpoint
+    assert os.path.isdir(os.path.join(str(tmp_path), "ckpt_two"))
+
+
 @pytest.mark.slow
 def test_two_process_distributed_mesh():
     port = _free_port()

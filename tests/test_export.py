@@ -76,11 +76,12 @@ def test_http_serving_example(tmp_path, small_cfg, params):
         import serve_http
     finally:
         sys.path.remove("examples")
-    from objectdetection_ssd_tpu.infer.export import ExportedDetector
 
     out = export_detector(small_cfg, params, str(tmp_path / "artifact"),
                           batch_size=1)
-    det = ExportedDetector(out)
+    # The example's inlined loader (framework-free on a real serving host;
+    # jax + the artifact only) — exercised end-to-end through the handler.
+    det = serve_http.MinimalExportedDetector(out)
     handler = serve_http.build_handler(det, det.meta["classes"])
     server = HTTPServer(("127.0.0.1", 0), handler)
     port = server.server_address[1]
@@ -105,13 +106,11 @@ def test_http_serving_example(tmp_path, small_cfg, params):
         server.shutdown()
 
 
-def test_export_pads_short_batches_and_rejects_long(tmp_path, small_cfg,
-                                                    params):
+def test_export_pads_short_and_chunks_long_batches(tmp_path, small_cfg,
+                                                   params):
     out = export_detector(small_cfg, params, str(tmp_path / "artifact"),
                           batch_size=2)
     served = ExportedDetector(out)
-    with pytest.raises(ValueError, match="batch<=2"):
-        served(np.zeros((3, 300, 300, 3), np.float32))
     with pytest.raises(ValueError, match="empty"):
         served(np.zeros((0, 300, 300, 3), np.float32))
     # a batch of 1 pads internally and returns exactly 1 row, identical to
@@ -123,3 +122,39 @@ def test_export_pads_short_batches_and_rejects_long(tmp_path, small_cfg,
     assert d1.boxes_xyxy.shape[0] == 1
     np.testing.assert_allclose(np.asarray(d1.scores[0]),
                                np.asarray(d2.scores[0]), rtol=1e-6)
+    # a batch of 5 over a compiled size of 2 chunks transparently: 5 rows
+    # out, each row identical to the same image served alone
+    imgs = np.random.default_rng(2).normal(
+        0, 0.5, (5, 300, 300, 3)).astype(np.float32)
+    d5 = served(imgs)
+    assert d5.boxes_xyxy.shape[0] == 5
+    for i in range(5):
+        di = served(imgs[i:i + 1])
+        np.testing.assert_allclose(np.asarray(d5.scores[i]),
+                                   np.asarray(di.scores[0]), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(d5.valid[i]),
+                                      np.asarray(di.valid[0]))
+
+
+def test_export_format_version_gate(tmp_path, small_cfg, params):
+    """A future-major artifact must be refused by both loaders; the current
+    artifact advertises format_version 1.x."""
+    import json
+    import os
+    from objectdetection_ssd_tpu.infer.export import check_format_version
+
+    out = export_detector(small_cfg, params, str(tmp_path / "artifact"),
+                          batch_size=1)
+    with open(os.path.join(out, "meta.json")) as f:
+        meta = json.load(f)
+    assert str(meta["format_version"]).startswith("1.")
+    check_format_version(meta)                       # current: accepted
+    check_format_version({})                         # pre-versioning: major 1
+    with pytest.raises(ValueError, match="format_version"):
+        check_format_version({"format_version": "2.0"})
+    # the on-disk gate: rewrite meta.json with a future major and reload
+    meta["format_version"] = "2.0"
+    with open(os.path.join(out, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="format_version"):
+        ExportedDetector(out)

@@ -37,6 +37,25 @@ def test_fsdp_sharding_picks_divisible_dim():
     assert s.spec == P()
 
 
+def test_batch_shards_over_both_mesh_axes():
+    """On a (data x fsdp) mesh the batch's leading dim spreads over BOTH
+    axes (ZeRO-3: params gathered over fsdp, every device computes distinct
+    examples) — sharding over 'data' alone would replicate forward/backward
+    work and double per-chip activation memory across the fsdp axis."""
+    mesh = _fsdp_mesh()
+    assert mesh_lib.batch_axes(mesh) == ("data", "fsdp")
+    s = mesh_lib.batch_sharding(mesh)
+    assert s.spec == P(("data", "fsdp"))
+    x = jnp.arange(8 * 4, dtype=jnp.float32).reshape(8, 4)
+    xs = mesh_lib.shard_batch(x, mesh)
+    assert all(sh.data.shape == (1, 4) for sh in xs.addressable_shards)
+    assert mesh_lib.local_batch_size(8, mesh) == 1
+    # a 1-D data mesh is unchanged
+    data_mesh = mesh_lib.create_mesh()
+    assert mesh_lib.batch_axes(data_mesh) == ("data",)
+    assert mesh_lib.batch_sharding(data_mesh).spec == P(("data",))
+
+
 def test_fsdp_step_matches_single_device():
     model = TinySSD()
     priors = _tiny_priors()
