@@ -37,7 +37,9 @@ def main() -> int:
 
     model = SSD300(dtype=dtype)
     priors = jnp.asarray(priors_lib.ssd300_priors())
-    pp_cfg = PostprocessConfig()
+    # "pallas" as a trailing arg A/Bs the Pallas NMS kernel against the
+    # default unrolled-XLA suppression.
+    pp_cfg = PostprocessConfig(use_pallas_nms="pallas" in sys.argv[2:])
 
     rng = jax.random.PRNGKey(0)
     images = jax.random.normal(rng, (batch_size, 300, 300, 3), dtype)
@@ -55,6 +57,18 @@ def main() -> int:
         s = jnp.sum(dets.scores) * 1e-9
         return x * (1.0 + s.astype(dtype) * 1e-6)
 
+    # XLA cost analysis of the FULL step graph (forward + postprocess +
+    # chain): FLOP-normalizes the headline into an MFU figure.  v5e peak is
+    # 197 TFLOP/s bf16 (the train bench uses the same constant).
+    step_flops = None
+    try:
+        cost = jax.jit(step).lower(images).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        step_flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
     # Warmup: compile + device attach, fenced by a real host pull.
     x = step(images)
     float(jnp.sum(x.astype(jnp.float32)))
@@ -67,12 +81,17 @@ def main() -> int:
     dt = (time.perf_counter() - t0) / n_iters
 
     ips = batch_size / dt
-    print(json.dumps({
+    out = {
         "metric": "ssd300_infer_images_per_sec_per_chip",
         "value": round(ips, 1),
         "unit": "images/sec",
         "vs_baseline": round(ips / 2000.0, 3),
-    }))
+    }
+    if step_flops and on_tpu:
+        # bf16 peak on v5e; flops counted by XLA over the whole step graph.
+        out["mfu"] = round(step_flops / dt / 197e12, 3)
+        out["gflop_per_image"] = round(step_flops / batch_size / 1e9, 1)
+    print(json.dumps(out))
     return 0
 
 

@@ -224,61 +224,62 @@ struct Window {          // crop window in source-image coordinates
   long x1, y1, x2, y2;   // may extend outside [0,w) x [0,h): filler region
 };
 
-// Triangle-filter resample of one axis over a virtual source line segment
-// [win_lo, win_lo + win_size) where indices outside [0, src_size) read the
-// filler color.  src layout: stride_axis between consecutive source pixels
-// along this axis, stride_other between lines.  dst is (other, out, ch)
-// C-order.
-void resample_axis_window(const float* src, long src_size, long other,
-                          long ch, long stride_axis, long stride_other,
-                          long win_lo, long win_size, const float* filler,
-                          bool filler_valid, float* dst, long out_size) {
+// Precomputed triangle-filter taps for resampling one axis of a virtual
+// window [win_lo, win_lo + win_size) down/up to out_size, where source
+// indices outside [0, src_size) contribute the filler color.  Computed ONCE
+// per axis and reused across every line — the earlier per-row weight
+// rebuild (with per-output heap allocations) dominated the augmentation
+// cost (~18 ms/image; see benchmarks/RESULTS.md round 3).
+struct AxisPlan {
+  std::vector<float> fill_w;    // (out) total filler weight per output
+  std::vector<int> tap_start;   // (out+1) prefix offsets into taps
+  std::vector<int> tap_src;     // flattened ABSOLUTE source indices
+  std::vector<float> tap_w;     // flattened normalized weights
+  long src_lo = 0, src_hi = 0;  // [src_lo, src_hi) = source range touched
+};
+
+AxisPlan make_axis_plan(long win_lo, long win_size, long src_size,
+                        long out_size) {
   double scale = static_cast<double>(win_size) / out_size;
   double support = (scale >= 1.0) ? scale : 1.0;
-
-  std::vector<long> starts(out_size), sizes(out_size);
-  std::vector<std::vector<float>> weights(out_size);
+  AxisPlan p;
+  p.fill_w.assign(out_size, 0.0f);
+  p.tap_start.assign(out_size + 1, 0);
+  p.src_lo = src_size;
+  p.src_hi = 0;
+  std::vector<double> w;
   for (long x = 0; x < out_size; ++x) {
     double center = (x + 0.5) * scale;
     long lo = static_cast<long>(std::max(center - support, 0.0));
     long hi = static_cast<long>(
         std::min(std::ceil(center + support), (double)win_size));
-    starts[x] = lo;
-    sizes[x] = hi - lo;
-    weights[x].resize(hi - lo);
+    w.assign(hi - lo, 0.0);
     double total = 0.0;
     for (long i = 0; i < hi - lo; ++i) {
       double d = (lo + i + 0.5 - center) / (support > 1.0 ? scale : 1.0);
-      double w = (d < 0 ? d + 1.0 : 1.0 - d);
-      if (w < 0) w = 0;
-      weights[x][i] = static_cast<float>(w);
-      total += w;
+      double ww = (d < 0 ? d + 1.0 : 1.0 - d);
+      if (ww < 0) ww = 0;
+      w[i] = ww;
+      total += ww;
     }
-    if (total > 0)
-      for (auto& w : weights[x]) w = static_cast<float>(w / total);
-  }
-
-#pragma omp parallel for schedule(static)
-  for (long y = 0; y < other; ++y) {
-    for (long x = 0; x < out_size; ++x) {
-      const float* wrow = weights[x].data();
-      long lo = starts[x], n = sizes[x];
-      for (long c = 0; c < ch; ++c) {
-        float acc = 0.0f;
-        for (long i = 0; i < n; ++i) {
-          long sx = win_lo + lo + i;  // virtual -> source index
-          float v;
-          if (sx >= 0 && sx < src_size) {
-            v = src[(size_t)y * stride_other + (size_t)sx * stride_axis + c];
-          } else {
-            v = filler_valid ? filler[c] : 0.0f;
-          }
-          acc += wrow[i] * v;
-        }
-        dst[((size_t)y * out_size + x) * ch + c] = acc;
+    double fill = 0.0;
+    for (long i = 0; i < hi - lo; ++i) {
+      double ww = total > 0 ? w[i] / total : 0.0;
+      long s = win_lo + lo + i;
+      if (s >= 0 && s < src_size) {
+        p.tap_src.push_back(static_cast<int>(s));
+        p.tap_w.push_back(static_cast<float>(ww));
+        p.src_lo = std::min(p.src_lo, s);
+        p.src_hi = std::max(p.src_hi, s + 1);
+      } else {
+        fill += ww;
       }
     }
+    p.fill_w[x] = static_cast<float>(fill);
+    p.tap_start[x + 1] = static_cast<int>(p.tap_src.size());
   }
+  if (p.src_hi < p.src_lo) p.src_lo = p.src_hi = 0;
+  return p;
 }
 
 float iou_1v1(const float* a, const float* b) {
@@ -301,12 +302,15 @@ extern "C" {
 //   seed:   RNG seed (deterministic per example)
 //   out:    (out_size, out_size, 3) float32, ImageNet-normalized
 //   out_boxes: (n, 4) float32 xyxy normalized to [0, 1]
-//   mean3/std3: normalization constants; filler = mean3 (un-normalized)
+//   fill3: expand/crop filler color (ImageNet mean, un-normalized)
+//   mean3/std3: output normalization constants (pass 0/1 for raw [0,1]
+//   output, e.g. when quantizing to uint8 for device-side normalization)
 // Returns the number of surviving boxes (<= n), or -1 on error.
 int train_augment(const float* img, long h, long w, const float* boxes,
                   const int* labels, int n, unsigned long long seed,
-                  long out_size, const float* mean3, const float* std3,
-                  float* out_img, float* out_boxes, int* out_labels) {
+                  long out_size, const float* fill3, const float* mean3,
+                  const float* std3, float* out_img, float* out_boxes,
+                  int* out_labels) {
   if (!img || h <= 0 || w <= 0 || out_size <= 0) return -1;
   std::mt19937_64 rng(seed);
   auto uniform = [&](double a, double b) {
@@ -473,43 +477,59 @@ int train_augment(const float* img, long h, long w, const float* boxes,
   }
 
   // ---- resample window -> out_size, + normalize --------------------------
-  // Horizontal pass over the window: (h_src rows restricted to window rows
-  // are handled in the vertical pass; horizontally we resample full source
-  // rows within the window's row range).  Simpler: first horizontal over
-  // all rows the vertical pass will touch.  To keep it simple and correct,
-  // materialize the window's horizontal resample for the row range
-  // [win.y1, win.y2) clipped to source, with filler rows handled in the
-  // vertical pass via bounds checks.
-  std::vector<float> tmp((size_t)win_h * out_size * 3);
-  // Virtual rows: r in [0, win_h); source row = win.y1 + r.
+  // Two separable passes with PRECOMPUTED tap plans.  The horizontal pass
+  // only touches the source rows the vertical taps actually read (a 4x
+  // expand window is mostly filler rows — skipping them plus reusing the
+  // weights cut this stage ~10x; see benchmarks/RESULTS.md round 3).
+  // Filler (out-of-image) contributions fold in as a per-output weight on
+  // the ImageNet-mean color; the vertical pass fuses flip + normalize and
+  // writes the final HWC output directly.
+  AxisPlan hp = make_axis_plan(win.x1, win_w, w, out_size);
+  AxisPlan vp = make_axis_plan(win.y1, win_h, h, out_size);
+  long row_lo = vp.src_lo, nrows = vp.src_hi - vp.src_lo;
+
+  std::vector<float> tmp((size_t)std::max(nrows, 0L) * out_size * 3);
 #pragma omp parallel for schedule(static)
-  for (long r = 0; r < win_h; ++r) {
-    long sy = win.y1 + r;
-    if (sy < 0 || sy >= h) {
-      for (long x = 0; x < out_size; ++x)
-        for (int c = 0; c < 3; ++c)
-          tmp[((size_t)r * out_size + x) * 3 + c] = mean3[c];
-      continue;
+  for (long r = 0; r < nrows; ++r) {
+    const float* srow = buf.data() + (size_t)(row_lo + r) * w * 3;
+    float* drow = tmp.data() + (size_t)r * out_size * 3;
+    for (long x = 0; x < out_size; ++x) {
+      float fw = hp.fill_w[x];
+      float a0 = fw * fill3[0], a1 = fw * fill3[1], a2 = fw * fill3[2];
+      for (int t = hp.tap_start[x]; t < hp.tap_start[x + 1]; ++t) {
+        const float* px = srow + (size_t)hp.tap_src[t] * 3;
+        float wt = hp.tap_w[t];
+        a0 += wt * px[0];
+        a1 += wt * px[1];
+        a2 += wt * px[2];
+      }
+      drow[x * 3 + 0] = a0;
+      drow[x * 3 + 1] = a1;
+      drow[x * 3 + 2] = a2;
     }
-    resample_axis_window(buf.data() + (size_t)sy * w * 3, w, 1, 3, 3, 0,
-                         win.x1, win_w, mean3, true,
-                         tmp.data() + (size_t)r * out_size * 3, out_size);
   }
-  // Vertical pass: virtual size win_h -> out_size over tmp (fully valid).
-  std::vector<float> tmp2((size_t)out_size * out_size * 3);
-  resample_axis_window(tmp.data(), win_h, out_size, 3,
-                       /*stride_axis=*/out_size * 3, /*stride_other=*/3,
-                       0, win_h, mean3, true, tmp2.data(), out_size);
-  // tmp2 is (x, y) major (vertical pass walked columns as "other");
-  // transpose + optional flip + normalize.
+
+  const float inv_std[3] = {1.0f / std3[0], 1.0f / std3[1], 1.0f / std3[2]};
 #pragma omp parallel for schedule(static)
   for (long y = 0; y < out_size; ++y) {
+    float fw = vp.fill_w[y];
+    std::vector<float> acc((size_t)out_size * 3);
+    for (long x = 0; x < out_size; ++x) {
+      acc[x * 3 + 0] = fw * fill3[0];
+      acc[x * 3 + 1] = fw * fill3[1];
+      acc[x * 3 + 2] = fw * fill3[2];
+    }
+    for (int t = vp.tap_start[y]; t < vp.tap_start[y + 1]; ++t) {
+      const float* trow = tmp.data()
+          + (size_t)(vp.tap_src[t] - row_lo) * out_size * 3;
+      float wt = vp.tap_w[t];
+      for (long i = 0; i < out_size * 3; ++i) acc[i] += wt * trow[i];
+    }
+    float* orow = out_img + (size_t)y * out_size * 3;
     for (long x = 0; x < out_size; ++x) {
       long sx = flip ? (out_size - 1 - x) : x;
       for (int c = 0; c < 3; ++c) {
-        float v = tmp2[((size_t)sx * out_size + y) * 3 + c];
-        out_img[((size_t)y * out_size + x) * 3 + c] =
-            (v - mean3[c]) / std3[c];
+        orow[x * 3 + c] = (acc[sx * 3 + c] - mean3[c]) * inv_std[c];
       }
     }
   }

@@ -36,6 +36,11 @@ def _common_flags(p: argparse.ArgumentParser):
                         "silently training on a partial corpus)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 activations (params stay f32)")
+    p.add_argument("--transfer-dtype", choices=["uint8", "float32"],
+                   default=None,
+                   help="image batch dtype shipped to the device (default "
+                        "uint8: raw pixels, 4x less H2D, normalized "
+                        "on-device)")
     p.add_argument("--synthetic", action="store_true",
                    help="generate a synthetic VOC fixture at --voc-root "
                         "(for smoke tests without the dataset)")
@@ -51,6 +56,8 @@ def build_config(args) -> config_lib.Config:
         data_kw["batch_size"] = args.batch_size
     if args.num_workers is not None:
         data_kw["num_workers"] = args.num_workers
+    if getattr(args, "transfer_dtype", None):
+        data_kw["transfer_dtype"] = args.transfer_dtype
     cfg = cfg.replace(data=dataclasses.replace(cfg.data, **data_kw))
     if args.checkpoint_dir is not None:
         cfg = cfg.replace(train=dataclasses.replace(
@@ -76,6 +83,8 @@ def build_config(args) -> config_lib.Config:
     if getattr(args, "tb_dir", None):
         cfg = cfg.replace(train=dataclasses.replace(
             cfg.train, tensorboard_dir=args.tb_dir))
+    if getattr(args, "remat", False):
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, remat=True))
     return cfg
 
 
@@ -305,6 +314,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_train.add_argument("--tb-dir", default=None,
                          help="write TensorBoard event files (loss, img/s) "
                               "to this directory")
+    p_train.add_argument("--remat", action="store_true",
+                         help="gradient-checkpoint the VGG trunk at stage "
+                              "boundaries (use for batch sizes >= 256 "
+                              "where activations exceed HBM)")
     p_train.add_argument("--grad-accum", type=int, default=1,
                          help="accumulate gradients over N micro-batches "
                               "per optimizer update (effective batch = "

@@ -157,6 +157,14 @@ class DataConfig:
     # when built: ~10x faster per image than the numpy path, same transform
     # semantics, different (still deterministic) random stream.
     use_native_augment: bool = True
+    # Dtype of the image batches shipped to the device.  "uint8" (default)
+    # sends RAW 0-255 pixels — 4x less host->device traffic and host memcpy
+    # — and the model normalizes on device in f32 fused into the first conv
+    # (models/ssd.py:prepare_input).  This also matches the reference more
+    # closely: torchvision's ToTensor reads uint8 PIL images, so its inputs
+    # are uint8-quantized too (`Dataset.py:10-13`).  "float32" ships
+    # host-normalized images.
+    transfer_dtype: str = "uint8"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -198,6 +206,12 @@ class TrainConfig:
     mesh_shape: Optional[Tuple[int, ...]] = None   # None = all devices on 'data'
     mesh_axis_names: Tuple[str, ...] = ("data",)
     donate_state: bool = True
+    # Gradient-checkpoint the forward at VGG stage boundaries
+    # (jax.checkpoint + save_only_these_names over the trunk's
+    # VGG_STAGE_CKPT markers): ~1/3 extra forward FLOPs for a large
+    # activation-HBM saving — turn on for bs>=256 (see
+    # benchmarks/RESULTS.md round 3).
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -55,21 +55,31 @@ def normalize_image(img: np.ndarray) -> np.ndarray:
     return (img - mean) / std
 
 
-def preprocess_image(img: np.ndarray, size: int) -> np.ndarray:
-    """Fused resize+normalize: native C++ kernel when built (skips PIL's
-    uint8 quantization — strictly higher fidelity), PIL fallback otherwise."""
+def preprocess_image(img: np.ndarray, size: int,
+                     normalize: bool = True) -> np.ndarray:
+    """Fused resize (+ normalize): native C++ kernel when built (skips PIL's
+    uint8 quantization — strictly higher fidelity), PIL fallback otherwise.
+    ``normalize=False`` returns the raw [0, 1] resample (uint8 transfer
+    mode quantizes it and lets the model normalize on device)."""
     try:
         from objectdetection_ssd_tpu import native
         if native.available():
-            return native.resize_normalize(img, size)
+            return native.resize_normalize(img, size, normalize=normalize)
     except Exception:
         pass
-    return normalize_image(resize_image(img, size))
+    resized = resize_image(img, size)
+    return normalize_image(resized) if normalize else resized
+
+
+def quantize_uint8(img: np.ndarray) -> np.ndarray:
+    """[0, 1] float image -> raw uint8 RGB (round-to-nearest)."""
+    return np.clip(img * 255.0 + 0.5, 0.0, 255.0).astype(np.uint8)
 
 
 @dataclasses.dataclass
 class Example:
-    image: np.ndarray        # (S, S, 3) float32, normalized
+    image: np.ndarray        # (S, S, 3): uint8 raw RGB (default transfer
+                             # dtype) or float32 ImageNet-normalized
     boxes: np.ndarray        # (n, 4) float32, xyxy in [0, 1]
     classes: np.ndarray      # (n,) int32
     image_id: int
@@ -80,14 +90,17 @@ def prepare_example(record: ImageRecord, image_size: int,
                     seed: Optional[int] = None,
                     cache_path: Optional[str] = None,
                     cache_index: int = -1,
-                    use_native_augment: bool = True) -> Example:
+                    use_native_augment: bool = True,
+                    transfer_dtype: str = "uint8") -> Example:
     """Decode + (optionally) augment one record into a fixed-size example.
 
     With ``cache_path`` set, pixels come from the packed decoded-image cache
     (data/cache.py) instead of a per-epoch JPEG decode.  Augmentation runs
     in the native C++ pipeline when built (one fused call including resize +
-    normalize), numpy otherwise.
+    normalize), numpy otherwise.  ``transfer_dtype="uint8"`` emits raw
+    0-255 pixels (device-side normalization, 4x less H2D traffic).
     """
+    want_u8 = transfer_dtype == "uint8"
     rec = record if keep_difficult else record.without_difficult()
     if cache_path is not None and cache_index >= 0:
         from objectdetection_ssd_tpu.data import cache as cache_lib
@@ -101,7 +114,10 @@ def prepare_example(record: ImageRecord, image_size: int,
             from objectdetection_ssd_tpu import native
             if native.available():
                 out_img, out_boxes, out_labels = native.train_augment(
-                    img, boxes, classes, seed or 0, image_size)
+                    img, boxes, classes, seed or 0, image_size,
+                    normalize=not want_u8)
+                if want_u8:
+                    out_img = quantize_uint8(out_img)
                 return Example(out_img, out_boxes,
                                out_labels.astype(np.int32), rec.image_id)
         except Exception:
@@ -115,24 +131,30 @@ def prepare_example(record: ImageRecord, image_size: int,
     if len(boxes):
         boxes = boxes / np.asarray([w, h, w, h], np.float32)
         boxes = np.clip(boxes, 0.0, 1.0)
-    img = preprocess_image(img, image_size)
+    img = preprocess_image(img, image_size, normalize=not want_u8)
+    if want_u8:
+        img = quantize_uint8(img)
     return Example(img, boxes.reshape(-1, 4), classes.astype(np.int32),
                    rec.image_id)
 
 
 def collate(examples: Sequence[Example], max_boxes: int,
-            image_size: Optional[int] = None) -> Dict[str, np.ndarray]:
+            image_size: Optional[int] = None,
+            image_dtype: Optional[np.dtype] = None) -> Dict[str, np.ndarray]:
     """Stack examples into one dense padded batch.
 
-    ``image_size`` makes an EMPTY example list collatable (a sharded
-    loader's slice of a short tail batch can hold zero rows).
+    ``image_size``/``image_dtype`` make an EMPTY example list collatable (a
+    sharded loader's slice of a short tail batch can hold zero rows — the
+    dtype must still match the other processes' shards).
     """
     bs = len(examples)
-    if bs == 0 and image_size is None:
-        raise ValueError("empty example list needs an explicit image_size")
+    if bs == 0 and (image_size is None or image_dtype is None):
+        raise ValueError(
+            "empty example list needs explicit image_size + image_dtype")
     s = examples[0].image.shape[0] if examples else image_size
+    dt = examples[0].image.dtype if examples else np.dtype(image_dtype)
     batch = {
-        "images": np.zeros((bs, s, s, 3), np.float32),
+        "images": np.zeros((bs, s, s, 3), dt),
         "boxes": np.zeros((bs, max_boxes, 4), np.float32),
         "classes": np.zeros((bs, max_boxes), np.int32),
         "mask": np.zeros((bs, max_boxes), bool),
@@ -225,7 +247,8 @@ class Loader:
                  self.config.keep_difficult,
                  int(rng.integers(0, 2**31)) if augment_now else None,
                  self.cache_path, int(i),
-                 self.config.use_native_augment)
+                 self.config.use_native_augment,
+                 self.config.transfer_dtype)
                 for i in idx
             ]
             if self.shard is not None:
@@ -237,7 +260,10 @@ class Loader:
             else:
                 examples = [prepare_example(*a) for a in args]
             batch = collate(examples, self.config.max_boxes,
-                            image_size=self.image_size)
+                            image_size=self.image_size,
+                            image_dtype=(np.uint8
+                                         if self.config.transfer_dtype
+                                         == "uint8" else np.float32))
             if self.shard is not None:
                 batch["global_size"] = np.int32(n_global)
             yield batch

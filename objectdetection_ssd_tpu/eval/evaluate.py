@@ -69,13 +69,18 @@ def evaluate_records(config: Config, params: Any, records: List[ImageRecord],
     det_boxes, det_classes, det_scores = [], [], []
     gt_boxes, gt_classes = [], []
 
+    u8 = config.data.transfer_dtype == "uint8"
+
     def prep(rec: ImageRecord):
         r = rec if keep_difficult else rec.without_difficult()
         raw = data_pipeline.load_image(r.image_path)
         h, w = raw.shape[:2]
         norm = (r.boxes_xyxy /
                 np.asarray([w, h, w, h], np.float32)).astype(np.float32)
-        return data_pipeline.preprocess_image(raw, size), norm, r.classes
+        img = data_pipeline.preprocess_image(raw, size, normalize=not u8)
+        if u8:
+            img = data_pipeline.quantize_uint8(img)
+        return img, norm, r.classes
 
     # Thread pool: decode (PIL) and the native resample both release the
     # GIL, so threads overlap host preprocessing with the device batches.

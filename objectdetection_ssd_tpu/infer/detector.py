@@ -74,6 +74,8 @@ class Detector:
         self.mesh = mesh
 
         def _infer(params, batch_stats, images):
+            from objectdetection_ssd_tpu.models.ssd import prepare_input
+            images = prepare_input(images, jnp.float32)  # uint8 -> normalized
             variables = {"params": params}
             if batch_stats is not None:
                 variables["batch_stats"] = batch_stats
@@ -107,6 +109,7 @@ class Detector:
         alternates 3- and 5-image calls must still hit one shape."""
         size = self.config.model.image_size
         bs = batch_size
+        u8 = self.config.data.transfer_dtype == "uint8"
         out: List[Dict[str, np.ndarray]] = []
         for start in range(0, len(paths), bs):
             chunk = paths[start:start + bs]
@@ -114,7 +117,9 @@ class Detector:
             for p in chunk:
                 raw = data_pipeline.load_image(p)
                 sizes.append((raw.shape[1], raw.shape[0]))  # (w, h)
-                imgs.append(data_pipeline.preprocess_image(raw, size))
+                img = data_pipeline.preprocess_image(raw, size,
+                                                     normalize=not u8)
+                imgs.append(data_pipeline.quantize_uint8(img) if u8 else img)
             n_real = len(imgs)
             while len(imgs) < bs:                 # pad tail, slice below
                 imgs.append(imgs[-1])

@@ -69,78 +69,86 @@ def _nms_kernel(boxes_ref, boxes_t_ref, valid_ref, keep_ref,
 
 def _nms_kernel_multiclass(boxes_ref, boxes_t_ref, valid_ref, keep_ref,
                            over_scr, *, iou_threshold: float):
-    """One image: all C candidate sets at once.
+    """A block of G candidate sets (several images x all their classes).
 
-    boxes_ref:   (1, C, K, 4); boxes_t_ref: (1, C, 4, K);
-    valid_ref / keep_ref: (1, C, 1, K); over_scr: (C, K, K) scratch.
+    boxes_ref:   (G, K, 4); boxes_t_ref: (G, 4, K);
+    valid_ref / keep_ref: (G, 1, K); over_scr: (G, K, K) scratch.
 
-    Identical recurrence to `_nms_kernel`, vectorized over the class dim so
-    one kernel program amortizes its launch/DMA overhead across all classes
-    of an image.
+    Identical recurrence to `_nms_kernel`, vectorized over the set dim so
+    one kernel program amortizes its launch/DMA/loop overhead across many
+    candidate sets (all classes of several images).
     """
-    c = boxes_ref.shape[1]
-    k = boxes_ref.shape[2]
-    x1c, y1c = boxes_ref[0, :, :, 0:1], boxes_ref[0, :, :, 1:2]  # (C, K, 1)
-    x2c, y2c = boxes_ref[0, :, :, 2:3], boxes_ref[0, :, :, 3:4]
-    x1r, y1r = boxes_t_ref[0, :, 0:1, :], boxes_t_ref[0, :, 1:2, :]  # (C,1,K)
-    x2r, y2r = boxes_t_ref[0, :, 2:3, :], boxes_t_ref[0, :, 3:4, :]
+    g = boxes_ref.shape[0]
+    k = boxes_ref.shape[1]
+    x1c, y1c = boxes_ref[:, :, 0:1], boxes_ref[:, :, 1:2]   # (G, K, 1)
+    x2c, y2c = boxes_ref[:, :, 2:3], boxes_ref[:, :, 3:4]
+    x1r, y1r = boxes_t_ref[:, 0:1, :], boxes_t_ref[:, 1:2, :]   # (G, 1, K)
+    x2r, y2r = boxes_t_ref[:, 2:3, :], boxes_t_ref[:, 3:4, :]
 
     iw = jnp.maximum(jnp.minimum(x2c, x2r) - jnp.maximum(x1c, x1r), 0.0)
     ih = jnp.maximum(jnp.minimum(y2c, y2r) - jnp.maximum(y1c, y1r), 0.0)
-    inter = iw * ih                                         # (C, K, K)
+    inter = iw * ih                                         # (G, K, K)
     area_c = (x2c - x1c) * (y2c - y1c)
     area_r = (x2r - x1r) * (y2r - y1r)
     union = area_c + area_r - inter
     over_scr[:] = jnp.where(inter >= iou_threshold * union, 1.0, 0.0)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (c, 1, k), 2)
-    valid_v = valid_ref[0]                                  # (C, 1, K)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (g, 1, k), 2)
+    valid_v = valid_ref[:]                                  # (G, 1, K)
 
     def body(i, sup):
-        row = over_scr[:, pl.ds(i, 1), :]                   # (C, 1, K)
+        row = over_scr[:, pl.ds(i, 1), :]                   # (G, 1, K)
         onehot = (lane == i).astype(jnp.float32)
         act = jnp.sum((1.0 - sup) * valid_v * onehot, axis=-1,
-                      keepdims=True)                        # (C, 1, 1)
+                      keepdims=True)                        # (G, 1, 1)
         return jnp.maximum(sup, row * (1.0 - onehot) * act)
 
     sup = jax.lax.fori_loop(
-        0, k, body, jnp.zeros((c, 1, k), jnp.float32))
-    keep_ref[0] = valid_v * (1.0 - sup)
+        0, k, body, jnp.zeros((g, 1, k), jnp.float32))
+    keep_ref[:] = valid_v * (1.0 - sup)
 
 
 def greedy_nms_keep_batched(cand_boxes: jnp.ndarray, valid: jnp.ndarray,
                             iou_threshold: float,
-                            interpret: bool | None = None) -> jnp.ndarray:
+                            interpret: bool | None = None,
+                            images_per_block: int = 4) -> jnp.ndarray:
     """(B, C, K, 4) boxes + (B, C, K) validity -> (B, C, K) keep mask.
 
-    One kernel program per image; all C class candidate sets are suppressed
-    together in VMEM.
+    Each kernel program suppresses ``images_per_block`` images' C class
+    candidate sets together in VMEM (G = images_per_block * C sets per
+    program), so the K-step sequential recurrence runs on wide (G, 1, K)
+    vectors instead of per-image slivers.  VMEM bound: the (G, K, K) f32
+    overlap scratch — 4 images x 20 classes x 64 x 64 x 4 B ~ 1.3 MB.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     b, c, k, _ = cand_boxes.shape
-    boxes = cand_boxes.astype(jnp.float32)
-    boxes_t = jnp.swapaxes(boxes, 2, 3)                     # (B, C, 4, K)
-    valid_f = valid.reshape(b, c, 1, k).astype(jnp.float32)
+    ib = images_per_block
+    while b % ib:
+        ib //= 2
+    g = ib * c
+    boxes = cand_boxes.astype(jnp.float32).reshape(b * c, k, 4)
+    boxes_t = jnp.swapaxes(boxes, 1, 2)                     # (B*C, 4, K)
+    valid_f = valid.reshape(b * c, 1, k).astype(jnp.float32)
 
     kernel = functools.partial(_nms_kernel_multiclass,
                                iou_threshold=iou_threshold)
     keep = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // ib,),
         in_specs=[
-            pl.BlockSpec((1, c, k, 4), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((g, k, 4), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, 4, k), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((g, 4, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, 1, k), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((g, 1, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, c, 1, k), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((g, 1, k), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, c, 1, k), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b * c, 1, k), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((c, k, k), jnp.float32),
+            pltpu.VMEM((g, k, k), jnp.float32),
         ],
         interpret=interpret,
     )(boxes, boxes_t, valid_f)

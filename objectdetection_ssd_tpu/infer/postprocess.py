@@ -128,8 +128,6 @@ def postprocess(pred_offsets: jnp.ndarray, pred_logits: jnp.ndarray,
     """
     bs = pred_offsets.shape[0]
     k = min(config.per_class_top_k, pred_offsets.shape[1])
-    decoded = box_ops.cxcywh_to_xyxy(
-        box_ops.decode(pred_offsets, priors_cxcywh))       # (B, P, 4)
 
     logz = jax.nn.logsumexp(pred_logits.astype(jnp.float32), axis=-1)
 
@@ -149,12 +147,21 @@ def postprocess(pred_offsets: jnp.ndarray, pred_logits: jnp.ndarray,
         logits_m = jnp.take_along_axis(
             pred_logits, anchor_idx[..., None], axis=1).astype(jnp.float32)
         logz_m = jnp.take_along_axis(logz, anchor_idx, axis=1)
-        decoded = jnp.take_along_axis(decoded, anchor_idx[..., None], axis=1)
+        # Decode only the M surviving anchors (offsets + their priors
+        # gathered first): the exp/mul decode and corner conversion on the
+        # full (B, P, 4) would write two dense arrays just to keep M rows.
+        offsets_m = jnp.take_along_axis(pred_offsets, anchor_idx[..., None],
+                                        axis=1)            # (B, M, 4)
+        priors_m = priors_cxcywh[anchor_idx]               # (B, M, 4)
+        decoded = box_ops.cxcywh_to_xyxy(
+            box_ops.decode(offsets_m, priors_m))           # (B, M, 4)
         cls_scores = jnp.exp(
             jnp.swapaxes(logits_m, 1, 2)[:, :NUM_CLASSES]
             - logz_m[:, None, :])                          # (B, 20, M)
         top_scores, top_idx = jax.lax.top_k(cls_scores, k)
     else:
+        decoded = box_ops.cxcywh_to_xyxy(
+            box_ops.decode(pred_offsets, priors_cxcywh))   # (B, P, 4)
         # Single-stage: softmax scores built directly in the class-major
         # (B, 20, P) layout the top-k wants; bf16 halves the dominant HBM
         # traffic in approx mode (exact mode stays f32).

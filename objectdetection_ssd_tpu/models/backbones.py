@@ -23,9 +23,19 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from jax.ad_checkpoint import checkpoint_name
+
 from objectdetection_ssd_tpu.models.layers import TorchConv, max_pool
 
 Dtype = Any
+
+# Name attached to VGG stage-boundary activations (pool outputs + SSD taps).
+# Transparent in normal execution; under `jax.checkpoint(...,
+# policy=save_only_these_names(VGG_STAGE_CKPT))` (train/loop.py --remat)
+# only these ~10% of trunk activations are saved for backward and the stage
+# interiors (the big high-resolution conv outputs) are recomputed — trading
+# ~1/3 extra forward FLOPs for the HBM that makes bs>=256 viable.
+VGG_STAGE_CKPT = "vgg_stage_boundary"
 
 
 # Param names per VGG stage — used both for the stop_gradient cut below and
@@ -83,18 +93,19 @@ class VGG16Trunk(nn.Module):
 
         x = block(x, 64, 2, "conv1")
         x = cut(x, 1)
-        x = max_pool(x, 2, 2)                       # 300 -> 150
+        x = checkpoint_name(max_pool(x, 2, 2), VGG_STAGE_CKPT)  # 300 -> 150
         x = block(x, 128, 2, "conv2")
         x = cut(x, 2)
-        x = max_pool(x, 2, 2)                       # 150 -> 75
+        x = checkpoint_name(max_pool(x, 2, 2), VGG_STAGE_CKPT)  # 150 -> 75
         x = block(x, 256, 3, "conv3")
         x = cut(x, 3)
-        x = max_pool(x, 2, 2, ceil_mode=True)       # 75 -> 38 (ceil, Model.py:137)
+        # 75 -> 38 (ceil-mode, Model.py:137)
+        x = checkpoint_name(max_pool(x, 2, 2, ceil_mode=True), VGG_STAGE_CKPT)
         x = block(x, 512, 3, "conv4")
         x = cut(x, 4)
-        conv4_3 = x                                  # (B, 38, 38, 512)
+        conv4_3 = checkpoint_name(x, VGG_STAGE_CKPT)  # (B, 38, 38, 512)
 
-        x = max_pool(x, 2, 2)                       # 38 -> 19
+        x = max_pool(conv4_3, 2, 2)                 # 38 -> 19
         x = block(x, 512, 3, "conv5")
         x = max_pool(x, 3, 1, padding=1)            # 19 -> 19 (Model.py:142)
 
@@ -104,7 +115,7 @@ class VGG16Trunk(nn.Module):
         x = nn.relu(x)
         x = TorchConv(1024, kernel=1, dtype=self.dtype, name="conv_fc7")(x)
         x = nn.relu(x)
-        return conv4_3, cut(x, 5)
+        return conv4_3, checkpoint_name(cut(x, 5), VGG_STAGE_CKPT)
 
 
 class BasicBlock(nn.Module):

@@ -33,13 +33,33 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from objectdetection_ssd_tpu.config import ModelConfig, NUM_CLASSES_WITH_BG
+from objectdetection_ssd_tpu.config import (IMAGENET_MEAN, IMAGENET_STD,
+                                            ModelConfig, NUM_CLASSES_WITH_BG)
 from objectdetection_ssd_tpu.models.backbones import ResNet34Trunk, VGG16Trunk
 from objectdetection_ssd_tpu.models.layers import (L2Norm, TorchConv,
                                                    flatten_head,
                                                    xavier_conv_kwargs)
 
 Dtype = Any
+
+
+def prepare_input(x: jnp.ndarray, dtype: Dtype) -> jnp.ndarray:
+    """Model input adapter: uint8 RGB -> ImageNet-normalized activations.
+
+    The data pipeline ships batches as RAW uint8 by default
+    (`DataConfig.transfer_dtype`): 4x less host->device traffic than
+    normalized float32, and it matches the reference even more closely —
+    torchvision's ToTensor reads a uint8 PIL image, so the reference's
+    inputs are uint8-quantized too (`Dataset.py:10-13`).  Normalization
+    runs here in f32 (XLA fuses it into the first conv) before casting to
+    the compute dtype; float inputs are treated as already normalized and
+    pass through.
+    """
+    if x.dtype == jnp.uint8:
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+        std = jnp.asarray(IMAGENET_STD, jnp.float32)
+        x = (x.astype(jnp.float32) * (1.0 / 255.0) - mean) / std
+    return x.astype(dtype)
 
 
 class SSD300(nn.Module):
@@ -56,7 +76,7 @@ class SSD300(nn.Module):
     def __call__(self, x: jnp.ndarray,
                  train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         del train  # no BN/dropout in this architecture
-        x = x.astype(self.dtype)
+        x = prepare_input(x, self.dtype)
         conv4_3, x = VGG16Trunk(dtype=self.dtype,
                                 freeze_stages=self.freeze_stages,
                                 name="trunk")(x)
@@ -149,7 +169,7 @@ class SSDResNet34(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray,
                  train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        x = x.astype(self.dtype)
+        x = prepare_input(x, self.dtype)
         feats = ResNet34Trunk(dtype=self.dtype, name="trunk")(
             x, train=train and not self.freeze_backbone)   # (B, 7, 7, 512)
         if self.freeze_backbone:

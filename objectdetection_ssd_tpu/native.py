@@ -107,7 +107,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_ulonglong, ctypes.c_long,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_int)]
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int)]
         _lib = lib
         return _lib
 
@@ -143,7 +143,7 @@ def parse_voc_xml(xml_path: str, max_objects: int = 256
 
 
 def train_augment(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
-                  seed: int, out_size: int
+                  seed: int, out_size: int, normalize: bool = True
                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Full native training augmentation + resize + normalize of one example.
 
@@ -155,8 +155,11 @@ def train_augment(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
     mt19937_64 seeded with ``seed`` (deterministic, but a different stream
     than the numpy fallback).
 
-    Returns (image (S, S, 3) normalized f32, boxes (n', 4) xyxy in [0, 1],
-    labels (n',) int32).
+    Returns (image (S, S, 3) f32 — ImageNet-normalized, or raw [0, 1] with
+    ``normalize=False`` (uint8 transfer mode: the model normalizes on
+    device) — boxes (n', 4) xyxy in [0, 1], labels (n',) int32).  The
+    expand/crop filler is the ImageNet mean color either way, exactly like
+    the reference's mean-canvas expand (`Util.py:610-645`).
     """
     lib = _load()
     if lib is None:
@@ -169,14 +172,19 @@ def train_augment(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
     out_img = np.empty((out_size, out_size, 3), np.float32)
     out_boxes = np.zeros((max(n, 1), 4), np.float32)
     out_labels = np.zeros((max(n, 1),), np.int32)
-    mean = np.asarray(IMAGENET_MEAN, np.float32)
-    std = np.asarray(IMAGENET_STD, np.float32)
+    fill = np.asarray(IMAGENET_MEAN, np.float32)
+    if normalize:
+        mean, std = fill, np.asarray(IMAGENET_STD, np.float32)
+    else:
+        mean = np.zeros(3, np.float32)
+        std = np.ones(3, np.float32)
     fp = ctypes.POINTER(ctypes.c_float)
     ip = ctypes.POINTER(ctypes.c_int)
     n_out = lib.train_augment(
         img.ctypes.data_as(fp), h, w,
         boxes.ctypes.data_as(fp), labels_in.ctypes.data_as(ip), n,
         ctypes.c_ulonglong(seed & (2**64 - 1)), out_size,
+        fill.ctypes.data_as(fp),
         mean.ctypes.data_as(fp), std.ctypes.data_as(fp),
         out_img.ctypes.data_as(fp), out_boxes.ctypes.data_as(fp),
         out_labels.ctypes.data_as(ip))
@@ -185,16 +193,22 @@ def train_augment(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
     return out_img, out_boxes[:n_out].copy(), out_labels[:n_out].copy()
 
 
-def resize_normalize(img: np.ndarray, size: int) -> np.ndarray:
-    """(h, w, 3) float32 [0,1] -> (size, size, 3) normalized float32."""
+def resize_normalize(img: np.ndarray, size: int,
+                     normalize: bool = True) -> np.ndarray:
+    """(h, w, 3) float32 [0,1] -> (size, size, 3) float32 (ImageNet-
+    normalized, or raw [0,1] resample with ``normalize=False``)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
     img = np.ascontiguousarray(img, np.float32)
     h, w = img.shape[:2]
     out = np.empty((size, size, 3), np.float32)
-    mean = np.asarray(IMAGENET_MEAN, np.float32)
-    std = np.asarray(IMAGENET_STD, np.float32)
+    if normalize:
+        mean = np.asarray(IMAGENET_MEAN, np.float32)
+        std = np.asarray(IMAGENET_STD, np.float32)
+    else:
+        mean = np.zeros(3, np.float32)
+        std = np.ones(3, np.float32)
     lib.resize_normalize(
         img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), h, w,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), size,

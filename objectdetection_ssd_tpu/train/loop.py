@@ -24,7 +24,16 @@ from objectdetection_ssd_tpu.train.state import TrainState
 
 
 def _forward(state: TrainState, params, batch, priors, rng, train: bool):
-    """Model apply handling optional BN stats / dropout rngs."""
+    """Model apply handling optional BN stats / dropout rngs.
+
+    uint8 image batches (the default transfer dtype) are normalized here so
+    ANY model — including custom modules injected into the Trainer — sees
+    ImageNet-normalized floats; float batches pass through untouched (our
+    models' own `prepare_input` is a float no-op then).
+    """
+    from objectdetection_ssd_tpu.models.ssd import prepare_input
+    batch = dict(batch)
+    batch["images"] = prepare_input(batch["images"], jnp.float32)
     variables = {"params": params}
     if state.batch_stats is not None:
         variables["batch_stats"] = state.batch_stats
@@ -44,17 +53,30 @@ def _forward(state: TrainState, params, batch, priors, rng, train: bool):
 def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                priors: jnp.ndarray,
                loss_config: LossConfig = LossConfig(),
-               seed: int = 0
+               seed: int = 0, remat: bool = False
                ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One SGD step; returns (new_state, metrics).
 
     ``seed`` roots the dropout stream (folded with the step counter), so
-    different `TrainConfig.seed` values draw different dropout masks."""
+    different `TrainConfig.seed` values draw different dropout masks.
+
+    ``remat``: gradient-checkpoint the forward at VGG stage boundaries
+    (models/backbones.py VGG_STAGE_CKPT markers): only pool outputs + SSD
+    taps are saved for backward, stage interiors are recomputed — trades
+    ~1/3 extra forward FLOPs for the activation HBM that XLA otherwise
+    spills/remats ad hoc under bs>=256 pressure."""
     rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
 
     def loss_fn(params):
-        loc, conf, new_stats = _forward(state, params, batch, priors, rng,
-                                        train=True)
+        fwd = lambda p: _forward(state, p, batch, priors, rng,  # noqa: E731
+                                 train=True)
+        if remat:
+            from objectdetection_ssd_tpu.models.backbones import \
+                VGG_STAGE_CKPT
+            fwd = jax.checkpoint(
+                fwd, policy=jax.checkpoint_policies.save_only_these_names(
+                    VGG_STAGE_CKPT))
+        loc, conf, new_stats = fwd(params)
         # Loss math in f32 regardless of the model's compute dtype.
         loss = multibox_loss(loc.astype(jnp.float32),
                              conf.astype(jnp.float32),
@@ -87,7 +109,8 @@ def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray],
 
 def make_jitted_steps(priors: jnp.ndarray, loss_config: LossConfig,
                       mesh: Optional[Mesh] = None, donate: bool = True,
-                      seed: int = 0, state_sharding=None):
+                      seed: int = 0, state_sharding=None,
+                      remat: bool = False):
     """Compile train/eval steps, optionally with explicit mesh shardings.
 
     With a mesh: batch arrays are sharded over the ``data`` axis, state is
@@ -100,7 +123,8 @@ def make_jitted_steps(priors: jnp.ndarray, loss_config: LossConfig,
     param all-gathers and gradient reduce-scatters).  Default: replicated.
     """
     t_step = functools.partial(train_step, priors=priors,
-                               loss_config=loss_config, seed=seed)
+                               loss_config=loss_config, seed=seed,
+                               remat=remat)
     e_step = functools.partial(eval_step, priors=priors,
                                loss_config=loss_config)
     if mesh is None:

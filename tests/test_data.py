@@ -180,8 +180,48 @@ def test_loader_batches(voc_root):
     assert b["mask"].shape == (4, 8)
     assert b["mask"].any()
     assert (b["boxes"] >= 0).all() and (b["boxes"] <= 1).all()
-    # images are ImageNet-normalized: values well outside [0,1]
-    assert b["images"].min() < -0.5
+    # default transfer dtype: raw uint8 pixels (the model normalizes on
+    # device — models/ssd.py:prepare_input)
+    assert b["images"].dtype == np.uint8
+    assert b["images"].max() > 0
+
+
+def test_loader_transfer_dtype_modes(voc_root):
+    """uint8 (default) ships raw pixels; float32 ships host-normalized
+    images; on-device normalization of the uint8 batch must equal the
+    host-normalized float batch up to uint8 quantization."""
+    records = voc.load_records(voc_root, train=True)
+    cfg8 = DataConfig(batch_size=4, num_workers=0, max_boxes=8)
+    cfgf = DataConfig(batch_size=4, num_workers=0, max_boxes=8,
+                      transfer_dtype="float32")
+    b8 = next(iter(pipeline.Loader(records, cfg8, train=False).epoch(0)))
+    bf = next(iter(pipeline.Loader(records, cfgf, train=False).epoch(0)))
+    assert b8["images"].dtype == np.uint8
+    assert bf["images"].dtype == np.float32
+    # float32 mode is ImageNet-normalized: values well outside [0, 1]
+    assert bf["images"].min() < -0.5
+    mean = np.asarray([0.485, 0.456, 0.406], np.float32)
+    std = np.asarray([0.229, 0.224, 0.225], np.float32)
+    renorm = (b8["images"].astype(np.float32) / 255.0 - mean) / std
+    # quantization step is 1/255 ~ 0.004 of [0,1], /std ~ 0.018 normalized
+    np.testing.assert_allclose(renorm, bf["images"], atol=0.02)
+
+
+def test_model_prepare_input_uint8_matches_float():
+    """models.ssd.prepare_input on a uint8 batch equals normalizing the same
+    pixels on the host (and float inputs pass through untouched)."""
+    import jax.numpy as jnp
+    from objectdetection_ssd_tpu.models.ssd import prepare_input
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, (2, 8, 8, 3), np.uint8)
+    mean = np.asarray([0.485, 0.456, 0.406], np.float32)
+    std = np.asarray([0.229, 0.224, 0.225], np.float32)
+    want = (u8.astype(np.float32) / 255.0 - mean) / std
+    got = prepare_input(jnp.asarray(u8), jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+    f32 = want[:1]
+    np.testing.assert_array_equal(
+        np.asarray(prepare_input(jnp.asarray(f32), jnp.float32)), f32)
 
 
 def test_loader_eval_deterministic(voc_root):

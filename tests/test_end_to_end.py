@@ -129,8 +129,12 @@ def test_evaluate_records_runs(tiny_setup):
     paths5 = [records[i % len(records)].image_path for i in range(5)]
     results5 = det.detect_images(paths5, batch_size=2)
     assert len(results5) == 5
+    # The two calls run at different compiled batch shapes (8 vs 2), so XLA
+    # fusion noise up to ~1e-5 relative is expected; sub-0.01-pixel agreement
+    # is identity for detection purposes.
     np.testing.assert_allclose(results5[0]["boxes_xyxy"],
-                               results[0]["boxes_xyxy"], rtol=1e-6)
+                               results[0]["boxes_xyxy"], rtol=1e-5,
+                               atol=0.01)
 
 
 def test_emergency_checkpoint_on_failure(tiny_setup, tmp_path):

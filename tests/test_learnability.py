@@ -57,9 +57,13 @@ def _priors():
 
 def _map_for(state, loader, priors, pp_cfg):
     det_b, det_c, det_s, gt_b, gt_c = [], [], [], [], []
+    from objectdetection_ssd_tpu.models.ssd import prepare_input
     for batch in loader.epoch(0):
+        # Loader ships raw uint8 by default; custom modules normalize at
+        # the boundary like train/loop._forward does.
+        images = prepare_input(jnp.asarray(batch["images"]), jnp.float32)
         loc, conf = state.apply_fn({"params": state.params},
-                                   batch["images"], train=False)
+                                   images, train=False)
         dets = postprocess(loc, conf, priors, pp_cfg)
         for i in range(batch["images"].shape[0]):
             valid = np.asarray(dets.valid[i])

@@ -433,3 +433,36 @@ def test_grad_accum_schedule_counts_real_updates():
     for _ in range(accum):
         up, st = tx.update(g, st, params)
     np.testing.assert_allclose(float(up["w"][0]), -0.1, rtol=1e-6)
+
+
+def test_remat_step_matches_plain_step():
+    """remat=True (stage-boundary gradient checkpointing) must change HBM
+    use only, never numerics: one step's loss and updated params are
+    identical to the plain step."""
+    model = TinySSD()
+    priors = _tiny_priors()
+    batch = _tiny_batch(bs=4)
+    state = create_train_state(
+        model, jax.random.PRNGKey(2), batch["images"][:1],
+        OptimConfig(lr=0.01, use_lr_schedule=False))
+    plain, _ = loop_lib.make_jitted_steps(priors, LossConfig(), mesh=None,
+                                          donate=False)
+    remat, _ = loop_lib.make_jitted_steps(priors, LossConfig(), mesh=None,
+                                          donate=False, remat=True)
+    s1, m1 = plain(state, batch)
+    s2, m2 = remat(state, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-7),
+        s1.params, s2.params)
+
+
+def test_remat_vgg_trunk_markers_exist():
+    """The VGG trunk carries stage-boundary checkpoint_name markers (the
+    remat policy keys on them)."""
+    from objectdetection_ssd_tpu.models import backbones
+    import inspect
+    src = inspect.getsource(backbones.VGG16Trunk)
+    assert src.count("checkpoint_name") >= 5
+    assert backbones.VGG_STAGE_CKPT
