@@ -1,0 +1,114 @@
+"""HTTP serving benchmark: latency/throughput of examples/serve_http.py
+under concurrent clients (VERDICT round-2 task 8).
+
+Exports a fresh SSD300 artifact (random weights — latency is
+weight-independent), starts the example server in-process on a free port,
+and drives it with concurrent HTTP clients posting a real JPEG.  Reports
+p50/p90/p99 end-to-end request latency (client-observed: JPEG upload +
+decode + preprocess + device inference + JSON response) and sustained
+requests/sec.
+
+Usage: python benchmarks/serve_bench.py [--clients 4] [--requests 100]
+"""
+
+import argparse
+import io
+import json
+import os
+import sys
+import tempfile
+import threading
+import time
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clients", type=int, default=4)
+    ap.add_argument("--requests", type=int, default=100,
+                    help="requests per client")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="compiled serving batch size")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from objectdetection_ssd_tpu.config import Config
+    from objectdetection_ssd_tpu.infer.export import export_detector
+    from objectdetection_ssd_tpu.models.ssd import build_model
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "examples"))
+    import serve_http
+
+    cfg = Config()
+    model = build_model(cfg.model)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 300, 300, 3)))["params"]
+    artifact = os.path.join(tempfile.mkdtemp(prefix="servebench_"), "art")
+    export_detector(cfg, params, artifact, batch_size=args.batch)
+
+    det = serve_http.MinimalExportedDetector(artifact)
+    handler = serve_http.build_handler(det, det.meta["classes"])
+    # ThreadingHTTPServer so concurrent clients actually overlap in the
+    # server (the jit call itself serializes on the device — that's the
+    # point of the measurement).
+    server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    buf = io.BytesIO()
+    Image.fromarray(np.random.default_rng(0).integers(
+        0, 255, (375, 500, 3), np.uint8)).save(buf, "JPEG", quality=90)
+    payload = buf.getvalue()
+    url = f"http://127.0.0.1:{port}/detect"
+
+    def post():
+        req = urllib.request.Request(url, data=payload, method="POST")
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            json.loads(resp.read())
+
+    post()  # warmup: compile + first dispatch
+
+    lats = []
+    lock = threading.Lock()
+
+    def client():
+        for _ in range(args.requests):
+            t0 = time.perf_counter()
+            post()
+            dt = time.perf_counter() - t0
+            with lock:
+                lats.append(dt)
+
+    threads = [threading.Thread(target=client) for _ in range(args.clients)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    server.shutdown()
+
+    lats_ms = np.asarray(sorted(lats)) * 1000.0
+    print(json.dumps({
+        "metric": "serve_http_latency_ms",
+        "clients": args.clients,
+        "requests": len(lats),
+        "p50": round(float(np.percentile(lats_ms, 50)), 1),
+        "p90": round(float(np.percentile(lats_ms, 90)), 1),
+        "p99": round(float(np.percentile(lats_ms, 99)), 1),
+        "requests_per_sec": round(len(lats) / wall, 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -80,6 +80,11 @@ def build_config(args) -> config_lib.Config:
     if getattr(args, "grad_accum", 0) and args.grad_accum > 1:
         cfg = cfg.replace(optim=dataclasses.replace(
             cfg.optim, grad_accum_steps=args.grad_accum))
+    if getattr(args, "lr", None) is not None:
+        cfg = cfg.replace(optim=dataclasses.replace(cfg.optim, lr=args.lr))
+    if getattr(args, "warmup_steps", None) is not None:
+        cfg = cfg.replace(optim=dataclasses.replace(
+            cfg.optim, warmup_steps=args.warmup_steps))
     if getattr(args, "tb_dir", None):
         cfg = cfg.replace(train=dataclasses.replace(
             cfg.train, tensorboard_dir=args.tb_dir))
@@ -314,6 +319,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_train.add_argument("--tb-dir", default=None,
                          help="write TensorBoard event files (loss, img/s) "
                               "to this directory")
+    p_train.add_argument("--lr", type=float, default=None,
+                         help="base learning rate (default 1e-4, the "
+                              "reference's fine-tune lr; from-scratch "
+                              "training wants ~5e-4 with warmup)")
+    p_train.add_argument("--warmup-steps", type=int, default=None,
+                         help="linear lr warmup steps (0 = off; needed for "
+                              "from-scratch SSD training)")
     p_train.add_argument("--remat", action="store_true",
                          help="gradient-checkpoint the VGG trunk at stage "
                               "boundaries (use for batch sizes >= 256 "

@@ -29,13 +29,18 @@ from objectdetection_ssd_tpu.models.layers import TorchConv, max_pool
 
 Dtype = Any
 
-# Name attached to VGG stage-boundary activations (pool outputs + SSD taps).
-# Transparent in normal execution; under `jax.checkpoint(...,
-# policy=save_only_these_names(VGG_STAGE_CKPT))` (train/loop.py --remat)
-# only these ~10% of trunk activations are saved for backward and the stage
-# interiors (the big high-resolution conv outputs) are recomputed — trading
-# ~1/3 extra forward FLOPs for the HBM that makes bs>=256 viable.
+# Names attached to trunk activations for remat policies (transparent in
+# normal execution — they only matter under `jax.checkpoint`):
+#   VGG_STAGE_CKPT — stage boundaries (pool outputs + SSD taps).
+#     `save_only_these_names(VGG_STAGE_CKPT)` = full-trunk remat: measured
+#     WORSE than plain XLA at bs=256 (556 vs 668 img/s — the recompute
+#     exceeds the spill it saves; benchmarks/RESULTS.md round 3).
+#   VGG_HIRES_CKPT — conv1/conv2 interiors, the largest activations
+#     (300^2 x 64 and 150^2 x 128) with the cheapest recompute.
+#     `save_anything_except_these_names(VGG_HIRES_CKPT)` = surgical remat:
+#     ONLY those are recomputed — what train/loop.py's --remat uses.
 VGG_STAGE_CKPT = "vgg_stage_boundary"
+VGG_HIRES_CKPT = "vgg_hires_interior"
 
 
 # Param names per VGG stage — used both for the stop_gradient cut below and
@@ -79,22 +84,24 @@ class VGG16Trunk(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        def block(x, features, n, name):
+        def block(x, features, n, name, mark=None):
             for i in range(n):
                 x = TorchConv(features, kernel=3, padding=1,
                               dtype=self.dtype,
                               name=f"{name}_{i + 1}")(x)
                 x = nn.relu(x)
+                if mark:
+                    x = checkpoint_name(x, mark)
             return x
 
         def cut(x, stage):
             return jax.lax.stop_gradient(x) if self.freeze_stages >= stage \
                 else x
 
-        x = block(x, 64, 2, "conv1")
+        x = block(x, 64, 2, "conv1", mark=VGG_HIRES_CKPT)
         x = cut(x, 1)
         x = checkpoint_name(max_pool(x, 2, 2), VGG_STAGE_CKPT)  # 300 -> 150
-        x = block(x, 128, 2, "conv2")
+        x = block(x, 128, 2, "conv2", mark=VGG_HIRES_CKPT)
         x = cut(x, 2)
         x = checkpoint_name(max_pool(x, 2, 2), VGG_STAGE_CKPT)  # 150 -> 75
         x = block(x, 256, 3, "conv3")

@@ -146,3 +146,47 @@ def mixed_class_nms(boxes_xyxy: jnp.ndarray, classes: jnp.ndarray,
     geq = probs[..., None, :] >= probs[..., :, None]   # prob_j >= prob_i
     removed = jnp.any(over & same & geq, axis=-1)
     return ~removed
+
+
+# --- Legacy yxyx coordinate family (reference notebook cruft) ---------------
+# The reference carries a parallel set of (y, x, y, x)-ordered converters
+# used only by its fastai-era notebook cells, never by the train path
+# (`Util.py:45-54, 65-84, 354-368`).  Reproduced for API completeness; all
+# are pure axis shuffles over (..., 4) arrays.
+
+def xyxy_to_yxyx(boxes: jnp.ndarray) -> jnp.ndarray:
+    """(x1, y1, x2, y2) -> (y1, x1, y2, x2) (`Util.py:45-54`)."""
+    return boxes[..., (1, 0, 3, 2)]
+
+
+def yxyx_to_xyxy(boxes: jnp.ndarray) -> jnp.ndarray:
+    """(y1, x1, y2, x2) -> (x1, y1, x2, y2) (`Util.py:65-84`)."""
+    return boxes[..., (1, 0, 3, 2)]
+
+
+def cxcywh_to_yxyx(boxes: jnp.ndarray) -> jnp.ndarray:
+    """(cx, cy, w, h) -> (y1, x1, y2, x2) corners
+    (reference `xywh_to_yxyx`, `Util.py:87-96` — its "xywh" is
+    center-based)."""
+    return xyxy_to_yxyx(cxcywh_to_xyxy(boxes))
+
+
+def yxyx_to_cxcywh(boxes: jnp.ndarray) -> jnp.ndarray:
+    """(y1, x1, y2, x2) -> (cx, cy, w, h) (reference `get_xywh_from_yxyx`,
+    `Util.py:354-368` — a per-row Python loop there; vectorized here)."""
+    return xyxy_to_cxcywh(yxyx_to_xyxy(boxes))
+
+
+def pairwise_iou_rescaled(raw_gt_xyxy: jnp.ndarray, image_wh: jnp.ndarray,
+                          other_xyxy: jnp.ndarray,
+                          target_size: float = 300.0) -> jnp.ndarray:
+    """IoU of raw-PIXEL GT boxes against ``target_size``-frame boxes.
+
+    The reference's `get_jaccard_tensor` (`Util.py:267-286`, notebook-only)
+    rescales an image's absolute-pixel GT by the on-disk image size into the
+    300x300 input frame before the IoU.  Functional equivalent (no global
+    dataset state): pass the raw boxes and the (w, h) explicitly.
+    """
+    wh = jnp.asarray(image_wh, jnp.float32)
+    scale = (target_size / jnp.concatenate([wh, wh], axis=-1))
+    return pairwise_iou(raw_gt_xyxy * scale, other_xyxy)

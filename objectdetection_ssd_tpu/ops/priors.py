@@ -170,3 +170,12 @@ def priors_for_model(model_config, prior_config: PriorConfig | None = None
     if backbone == "resnet34":
         return resnet34_priors()
     raise ValueError(f"unknown backbone: {backbone!r}")
+
+
+def ssd_paper_scale(k: int) -> float:
+    """The SSD paper's scale formula s_k = 0.2 + 0.7 (k-1)/5, rounded to 2
+    decimals — the reference defines it (`Util.py:140-141`) as an unused
+    alternative to its hand-picked scale list; kept for API completeness.
+    ssd_paper_scale(1..6) = [0.2, 0.34, 0.48, 0.62, 0.76, 0.9].
+    """
+    return round(0.2 + 0.7 * (k - 1) / 5.0, 2)

@@ -73,6 +73,13 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
         if remat:
             from objectdetection_ssd_tpu.models.backbones import \
                 VGG_STAGE_CKPT
+            # Save ONLY the stage boundaries; interiors recompute in
+            # backward.  NOTE the inverse policy
+            # (save_anything_except_these_names on the conv1/conv2
+            # interiors) is NOT a lighter-weight option: jax.checkpoint
+            # saves every policy-saveable intermediate as a residual, so
+            # "anything except" materializes far more than XLA's natural
+            # backward and OOMs the bs=256 compile (RESULTS.md r3).
             fwd = jax.checkpoint(
                 fwd, policy=jax.checkpoint_policies.save_only_these_names(
                     VGG_STAGE_CKPT))

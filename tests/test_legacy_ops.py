@@ -113,3 +113,44 @@ def test_mixed_class_nms_matches_reference_mask_math():
             jnp.asarray(classes), jnp.asarray(probs), thr))
         got_removed = set(np.flatnonzero(~keep).tolist())
         assert got_removed == removed, f"trial {trial}"
+
+
+def test_yxyx_converter_family():
+    """Legacy yxyx twins (`Util.py:45-84, 354-368`): pure axis shuffles,
+    mutually inverse, consistent with the primary converters."""
+    import numpy as np
+    from objectdetection_ssd_tpu.ops import boxes as B
+    rng = np.random.default_rng(0)
+    xy = rng.uniform(0, 1, (7, 4)).astype(np.float32)
+    yx = np.asarray(B.xyxy_to_yxyx(xy))
+    np.testing.assert_array_equal(yx, xy[:, (1, 0, 3, 2)])
+    np.testing.assert_array_equal(np.asarray(B.yxyx_to_xyxy(yx)), xy)
+    cxy = rng.uniform(0.2, 0.5, (5, 4)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(B.cxcywh_to_yxyx(cxy)),
+        np.asarray(B.xyxy_to_yxyx(B.cxcywh_to_xyxy(cxy))))
+    np.testing.assert_allclose(
+        np.asarray(B.yxyx_to_cxcywh(B.cxcywh_to_yxyx(cxy))), cxy,
+        atol=1e-6)
+
+
+def test_pairwise_iou_rescaled_matches_reference_math():
+    """`get_jaccard_tensor` semantics (`Util.py:267-286`): raw-pixel GT
+    rescaled into the 300-frame before IoU."""
+    import numpy as np
+    from objectdetection_ssd_tpu.ops import boxes as B
+    raw = np.asarray([[0, 0, 200, 150], [100, 75, 400, 300]], np.float32)
+    wh = np.asarray([400.0, 300.0])          # image is 400x300
+    # rescaled to 300x300: [[0,0,150,150],[75,75,300,300]]
+    other = np.asarray([[0, 0, 150, 150]], np.float32)
+    iou = np.asarray(B.pairwise_iou_rescaled(raw, wh, other))
+    np.testing.assert_allclose(iou[0, 0], 1.0, atol=1e-6)
+    inter = 75.0 * 75.0
+    union = 150 * 150 + 225 * 225 - inter
+    np.testing.assert_allclose(iou[1, 0], inter / union, rtol=1e-6)
+
+
+def test_ssd_paper_scale():
+    from objectdetection_ssd_tpu.ops.priors import ssd_paper_scale
+    assert [ssd_paper_scale(k) for k in range(1, 7)] == [
+        0.2, 0.34, 0.48, 0.62, 0.76, 0.9]
