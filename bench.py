@@ -57,17 +57,20 @@ def main() -> int:
         s = jnp.sum(dets.scores) * 1e-9
         return x * (1.0 + s.astype(dtype) * 1e-6)
 
-    # XLA cost analysis of the FULL step graph (forward + postprocess +
-    # chain): FLOP-normalizes the headline into an MFU figure.  v5e peak is
-    # 197 TFLOP/s bf16 (the train bench uses the same constant).
+    # AOT-compile once; the SAME executable provides the XLA cost analysis
+    # (FLOP-normalized MFU; v5e peak 197 TFLOP/s bf16) and runs the timed
+    # loop — lowering separately for analysis would compile twice (~2x the
+    # multi-minute relay compile).
     step_flops = None
     try:
-        cost = jax.jit(step).lower(images).compile().cost_analysis()
+        compiled = step.lower(images).compile()
+        cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         step_flops = float(cost.get("flops", 0.0)) or None
+        step = compiled
     except Exception:
-        pass
+        pass  # fall back to the plain jitted callable
 
     # Warmup: compile + device attach, fenced by a real host pull.
     x = step(images)

@@ -111,14 +111,17 @@ def _nms_kernel_multiclass(boxes_ref, boxes_t_ref, valid_ref, keep_ref,
 def greedy_nms_keep_batched(cand_boxes: jnp.ndarray, valid: jnp.ndarray,
                             iou_threshold: float,
                             interpret: bool | None = None,
-                            images_per_block: int = 4) -> jnp.ndarray:
+                            images_per_block: int = 2) -> jnp.ndarray:
     """(B, C, K, 4) boxes + (B, C, K) validity -> (B, C, K) keep mask.
 
     Each kernel program suppresses ``images_per_block`` images' C class
     candidate sets together in VMEM (G = images_per_block * C sets per
     program), so the K-step sequential recurrence runs on wide (G, 1, K)
-    vectors instead of per-image slivers.  VMEM bound: the (G, K, K) f32
-    overlap scratch — 4 images x 20 classes x 64 x 64 x 4 B ~ 1.3 MB.
+    vectors instead of per-image slivers.  2 images/block is the VMEM
+    frontier (measured on v5e, 16 MB scoped limit): at 4 images/block both
+    the (G, K, 4) packed-columns operand (pads 4 -> 128 lanes; 21.75 MB)
+    and a variant deriving (K, 1) columns in-kernel (four separately
+    lane-padded column buffers; 21.68 MB) exceed it.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
