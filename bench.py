@@ -37,9 +37,7 @@ def main() -> int:
 
     model = SSD300(dtype=dtype)
     priors = jnp.asarray(priors_lib.ssd300_priors())
-    # "pallas" as a trailing arg A/Bs the Pallas NMS kernel against the
-    # default unrolled-XLA suppression.
-    pp_cfg = PostprocessConfig(use_pallas_nms="pallas" in sys.argv[2:])
+    pp_cfg = PostprocessConfig()
 
     rng = jax.random.PRNGKey(0)
     images = jax.random.normal(rng, (batch_size, 300, 300, 3), dtype)

@@ -130,8 +130,10 @@ class PostprocessConfig:
     anchor_prefilter: int = 256
     # Unroll the greedy-suppression recurrence at trace time (no per-step XLA
     # while-loop overhead); the fori_loop variant is for very large K.
+    # (A hand-written Pallas suppression kernel was built and benchmarked
+    # across three formulations and retired: best 2232 vs 2248 img/s for
+    # this unrolled-XLA path — benchmarks/RESULTS.md "Pallas NMS".)
     nms_unrolled: bool = True
-    use_pallas_nms: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -176,14 +176,9 @@ def postprocess(pred_offsets: jnp.ndarray, pred_logits: jnp.ndarray,
         decoded[:, None], top_idx[..., None], axis=2)      # (B, 20, K, 4)
     valid = top_scores >= config.score_threshold
 
-    if config.use_pallas_nms:
-        from objectdetection_ssd_tpu.infer import nms_pallas
-        keep = nms_pallas.greedy_nms_keep(cand_boxes, valid,
-                                          config.nms_iou_threshold)
-    else:
-        iou = box_ops.pairwise_iou(cand_boxes, cand_boxes)  # (B, 20, K, K)
-        keep = greedy_nms_mask(iou, valid, config.nms_iou_threshold,
-                               unrolled=config.nms_unrolled)
+    iou = box_ops.pairwise_iou(cand_boxes, cand_boxes)      # (B, 20, K, K)
+    keep = greedy_nms_mask(iou, valid, config.nms_iou_threshold,
+                           unrolled=config.nms_unrolled)
 
     kept_scores = jnp.where(keep, top_scores, 0.0)         # (B, 20, K)
     flat_scores = kept_scores.reshape(bs, -1)              # (B, 20*K)

@@ -22,8 +22,7 @@ def small_cfg():
         model=ModelConfig(backbone="vgg16"),
         postprocess=PostprocessConfig(per_class_top_k=16, top_k=20,
                                       use_approx_top_k=False,
-                                      anchor_prefilter=0,
-                                      use_pallas_nms=False),
+                                      anchor_prefilter=0),
     )
 
 
