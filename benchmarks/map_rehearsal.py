@@ -34,7 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 TRAIN_IMAGES_2007 = 2200
 TRAIN_IMAGES_2012 = 300
 EVAL_SCALE_IMAGES = 5000
-EPOCHS = 30
+EPOCHS = 40
 BATCH = 64
 
 
@@ -61,7 +61,7 @@ def main() -> int:
         "train", "--voc-root", root, "--epochs", str(EPOCHS),
         "--batch-size", str(BATCH), "--num-workers", "0",
         "--checkpoint-dir", ckpt, "--bf16",
-        "--lr", "5e-4", "--warmup-steps", "300",
+        "--lr", "5e-4", "--warmup-steps", "300", "--no-lr-decay",
         "--image-cache", os.path.join(work, "cache"),
         "--eval-map-every", "10",
     ])

@@ -85,6 +85,9 @@ def build_config(args) -> config_lib.Config:
     if getattr(args, "warmup_steps", None) is not None:
         cfg = cfg.replace(optim=dataclasses.replace(
             cfg.optim, warmup_steps=args.warmup_steps))
+    if getattr(args, "no_lr_decay", False):
+        cfg = cfg.replace(optim=dataclasses.replace(
+            cfg.optim, use_lr_schedule=False))
     if getattr(args, "tb_dir", None):
         cfg = cfg.replace(train=dataclasses.replace(
             cfg.train, tensorboard_dir=args.tb_dir))
@@ -326,6 +329,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_train.add_argument("--warmup-steps", type=int, default=None,
                          help="linear lr warmup steps (0 = off; needed for "
                               "from-scratch SSD training)")
+    p_train.add_argument("--no-lr-decay", action="store_true",
+                         help="disable the StepLR(7, 0.1) epoch decay "
+                              "(the reference's fine-tune schedule; "
+                              "from-scratch runs want constant lr — note "
+                              "the reference itself never calls "
+                              "scheduler.step(), train.py:57)")
     p_train.add_argument("--remat", action="store_true",
                          help="gradient-checkpoint the VGG trunk at stage "
                               "boundaries (use for batch sizes >= 256 "

@@ -99,10 +99,16 @@ def evaluate_records(config: Config, params: Any, records: List[ImageRecord],
             while len(imgs) < bs:
                 imgs.append(imgs[-1])
             dets = detector.detect_batch(np.stack(imgs))
+            # ONE host pull for the whole batch: per-row np.asarray on the
+            # device arrays would issue 4 transfers per image (hundreds of
+            # relay round-trips per batch — measured 7.7 img/s; this form
+            # restores device-rate evaluation).
+            import jax
+            dets = jax.device_get(dets)
             for i in range(n_real):
-                valid = np.asarray(dets.valid[i])
-                det_boxes.append(np.asarray(dets.boxes_xyxy[i])[valid])
-                det_classes.append(np.asarray(dets.classes[i])[valid])
-                det_scores.append(np.asarray(dets.scores[i])[valid])
+                valid = dets.valid[i]
+                det_boxes.append(dets.boxes_xyxy[i][valid])
+                det_classes.append(dets.classes[i][valid])
+                det_scores.append(dets.scores[i][valid])
 
     return voc_map(det_boxes, det_classes, det_scores, gt_boxes, gt_classes)

@@ -126,14 +126,17 @@ class Detector:
                 sizes.append(sizes[-1])
             dets = self.detect_batch(jnp.asarray(np.stack(imgs)))
             dets = scale_detections(dets, jnp.asarray(sizes, jnp.float32))
+            # One host pull per batch (per-row indexing would issue four
+            # device transfers per image — see eval/evaluate.py).
+            dets = jax.device_get(dets)
             for i in range(n_real):
-                valid = np.asarray(dets.valid[i])
-                classes = np.asarray(dets.classes[i])[valid]
+                valid = dets.valid[i]
+                classes = dets.classes[i][valid]
                 out.append({
-                    "boxes_xyxy": np.asarray(dets.boxes_xyxy[i])[valid],
+                    "boxes_xyxy": dets.boxes_xyxy[i][valid],
                     "classes": classes,
                     "labels": np.asarray(
                         [ID_TO_CLASS[int(c)] for c in classes]),
-                    "scores": np.asarray(dets.scores[i])[valid],
+                    "scores": dets.scores[i][valid],
                 })
         return out
