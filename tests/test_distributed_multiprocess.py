@@ -68,6 +68,7 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 port, pid, nproc = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
 repo, root, ckpt = sys.argv[4], sys.argv[5], sys.argv[6]
+strategy = sys.argv[7] if len(sys.argv) > 7 else "dp"
 sys.path.insert(0, repo)
 from objectdetection_ssd_tpu.parallel import distributed
 if nproc > 1:
@@ -90,13 +91,19 @@ synthetic.generate_voc(root, num_2007=20, num_2012=0, image_size=(96, 96),
 records = voc.load_records(root, train=True)
 assert len(records) == 20
 
+mesh_kw = {}
+if strategy == "fsdp":
+    # 2-D (data x fsdp) mesh spanning both processes: params/momentum
+    # sharded over fsdp, batch rows spread over BOTH axes (mesh.batch_axes)
+    # while each process still feeds only its local rows.
+    mesh_kw = dict(mesh_shape=(2, 2), mesh_axis_names=("data", "fsdp"))
 cfg = Config(
     model=ModelConfig(image_size=64),
     data=DataConfig(voc_root=root, batch_size=8, num_workers=0, max_boxes=8,
                     augment=False),
     optim=OptimConfig(lr=0.01, use_lr_schedule=False),
     train=TrainConfig(num_epochs=2, seed=0, checkpoint_dir=ckpt,
-                      log_every_steps=0),
+                      log_every_steps=0, **mesh_kw),
 )
 shard = (pid, nproc) if nproc > 1 else None
 train_loader = Loader(records[:16], cfg.data, 64, train=True, seed=0,
@@ -115,7 +122,8 @@ print(f"proc {pid} RESULT train=[{tr}] test=[{te}]")
 """
 
 
-def _run_trainer_children(nproc, local_devices, tmp_path, tag):
+def _run_trainer_children(nproc, local_devices, tmp_path, tag,
+                          strategy="dp"):
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "PYTHONPATH")}
@@ -128,7 +136,7 @@ def _run_trainer_children(nproc, local_devices, tmp_path, tag):
         root = os.path.join(str(tmp_path), f"voc_{tag}_{pid}")
         procs.append(subprocess.Popen(
             [sys.executable, "-c", _TRAINER_CHILD, str(port), str(pid),
-             str(nproc), REPO, root, ckpt],
+             str(nproc), REPO, root, ckpt, strategy],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True))
     outs = []
@@ -171,6 +179,20 @@ def test_two_process_trainer_matches_single_process(tmp_path):
         assert te == pytest.approx(ref_test, rel=2e-5), (te, ref_test)
     # the 2-process job wrote a usable (collective) checkpoint
     assert os.path.isdir(os.path.join(str(tmp_path), "ckpt_two"))
+
+
+@pytest.mark.slow
+def test_two_process_trainer_fsdp_mesh_matches_single(tmp_path):
+    """Multi-host FSDP: a (2, 2) data x fsdp mesh spanning 2 processes —
+    params sharded over fsdp, batch rows over BOTH axes, each process
+    feeding local rows — still reproduces the single-process losses."""
+    outs2 = _run_trainer_children(2, 2, tmp_path, "fsdp2", strategy="fsdp")
+    outs1 = _run_trainer_children(1, 4, tmp_path, "fsdp1", strategy="fsdp")
+    ref_train, ref_test = _parse_losses(outs1[0], 0)
+    for pid in (0, 1):
+        tr, te = _parse_losses(outs2[pid], pid)
+        assert tr == pytest.approx(ref_train, rel=2e-5), (tr, ref_train)
+        assert te == pytest.approx(ref_test, rel=2e-5), (te, ref_test)
 
 
 @pytest.mark.slow
