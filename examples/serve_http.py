@@ -63,6 +63,10 @@ def build_handler(detector, classes):
     std = np.asarray([0.229, 0.224, 0.225], np.float32)
     size = detector.meta["image_size"]
     bs = detector.meta["batch_size"]
+    # uint8 artifacts (meta input_dtype, format 1.1) take raw resized
+    # pixels and normalize inside the program — 4x less per-request
+    # host->device transfer; float32 artifacts expect host normalization.
+    uint8_input = detector.meta.get("input_dtype", "float32") == "uint8"
 
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):
@@ -77,8 +81,11 @@ def build_handler(detector, classes):
                 self.send_error(400, "not an image")
                 return
             w, h = im.size
-            arr = np.asarray(im.resize((size, size)), np.float32) / 255.0
-            arr = (arr - mean) / std
+            if uint8_input:
+                arr = np.asarray(im.resize((size, size)), np.uint8)
+            else:
+                arr = np.asarray(im.resize((size, size)), np.float32) / 255.0
+                arr = (arr - mean) / std
             batch = np.broadcast_to(arr, (bs, size, size, 3)).copy()
             det_boxes, det_scores, det_classes, det_valid = detector(batch)
             valid = np.asarray(det_valid[0])

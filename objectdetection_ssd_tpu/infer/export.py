@@ -36,24 +36,36 @@ _META = "meta.json"
 # refuse artifacts from a DIFFERENT major so a stale serving host fails
 # loudly instead of mis-parsing (the StableHLO program itself is already
 # versioned/forward-compatible by jax.export).
-FORMAT_VERSION = "1.0"
+# 1.1: additive ``input_dtype`` field ("uint8" programs take raw 0-255
+# pixels and normalize on device; absent/"float32" = host-normalized).
+FORMAT_VERSION = "1.1"
 
 
 def export_detector(config: Config, params: Any, out_dir: str,
                     batch_size: int = 8,
                     batch_stats: Any = None,
-                    platforms: Optional[list] = None) -> str:
+                    platforms: Optional[list] = None,
+                    input_dtype: Optional[str] = None) -> str:
     """Serialize (model apply + postprocess) with weights baked in.
 
     ``platforms``: lowering platforms for the artifact (default: the current
     backend plus 'cpu', so an exported-on-TPU artifact still loads on a CPU
     box for smoke checks).
+
+    ``input_dtype``: "uint8" (default, from DataConfig.transfer_dtype) bakes
+    the ImageNet normalization INTO the program — the serving host posts
+    raw 0-255 resized pixels, 4x less host->device transfer per request;
+    "float32" keeps the legacy host-normalized contract.  Recorded in
+    meta.json as ``input_dtype``.
     """
     model = build_model(config.model)
     priors = jnp.asarray(priors_lib.priors_for_model(config.model,
                                                      config.priors))
     pp_cfg = config.postprocess
     size = config.model.image_size
+    if input_dtype is None:
+        input_dtype = config.data.transfer_dtype
+    in_dtype = jnp.uint8 if input_dtype == "uint8" else jnp.float32
 
     # Close over the weights: the artifact is self-contained.
     frozen = jax.tree_util.tree_map(jnp.asarray, params)
@@ -74,7 +86,7 @@ def export_detector(config: Config, params: Any, out_dir: str,
 
     exported = jax.export.export(
         jax.jit(serve), platforms=platforms)(
-        jax.ShapeDtypeStruct((batch_size, size, size, 3), jnp.float32))
+        jax.ShapeDtypeStruct((batch_size, size, size, 3), in_dtype))
 
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, _PROGRAM), "wb") as f:
@@ -82,6 +94,7 @@ def export_detector(config: Config, params: Any, out_dir: str,
     with open(os.path.join(out_dir, _META), "w") as f:
         json.dump({
             "format_version": FORMAT_VERSION,
+            "input_dtype": input_dtype,
             "batch_size": batch_size,
             "image_size": size,
             "top_k": pp_cfg.top_k,

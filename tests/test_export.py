@@ -35,7 +35,7 @@ def params(small_cfg):
 
 def test_export_roundtrip_matches_live_detector(tmp_path, small_cfg, params):
     out = export_detector(small_cfg, params, str(tmp_path / "artifact"),
-                          batch_size=2)
+                          batch_size=2, input_dtype="float32")
     served = ExportedDetector(out)
     live = Detector(small_cfg, params)
 
@@ -108,7 +108,7 @@ def test_http_serving_example(tmp_path, small_cfg, params):
 def test_export_pads_short_and_chunks_long_batches(tmp_path, small_cfg,
                                                    params):
     out = export_detector(small_cfg, params, str(tmp_path / "artifact"),
-                          batch_size=2)
+                          batch_size=2, input_dtype="float32")
     served = ExportedDetector(out)
     with pytest.raises(ValueError, match="empty"):
         served(np.zeros((0, 300, 300, 3), np.float32))
@@ -157,3 +157,24 @@ def test_export_format_version_gate(tmp_path, small_cfg, params):
         json.dump(meta, f)
     with pytest.raises(ValueError, match="format_version"):
         ExportedDetector(out)
+
+
+def test_export_uint8_artifact_matches_live(tmp_path, small_cfg, params):
+    """Default (uint8) artifacts take raw 0-255 pixels, normalize inside
+    the program, and match the live detector fed the same uint8 batch."""
+    out = export_detector(small_cfg, params, str(tmp_path / "artifact_u8"),
+                          batch_size=2)   # default: cfg transfer_dtype=uint8
+    served = ExportedDetector(out)
+    assert served.meta["input_dtype"] == "uint8"
+    live = Detector(small_cfg, params)
+    u8 = np.random.default_rng(3).integers(0, 256, (2, 300, 300, 3),
+                                           np.uint8)
+    d_live = live.detect_batch(jnp.asarray(u8))
+    d_srv = served(u8)
+    np.testing.assert_array_equal(np.asarray(d_live.valid),
+                                  np.asarray(d_srv.valid))
+    np.testing.assert_allclose(np.asarray(d_live.scores),
+                               np.asarray(d_srv.scores), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(d_live.boxes_xyxy),
+                               np.asarray(d_srv.boxes_xyxy), rtol=1e-5,
+                               atol=1e-6)
