@@ -113,7 +113,9 @@ class PostprocessConfig:
     # scores >= threshold per class).  With a trained model and threshold
     # 0.2, per-class candidate counts are typically < 20, so 64 never binds
     # in practice while keeping the K x K suppression cheap; raise for
-    # ultra-dense scenes or exact-parity studies.
+    # ultra-dense scenes or exact-parity studies.  32 measured +1.8% e2e
+    # at bs=256 (RESULTS.md r3 sweep) — worth it only when per-class
+    # detection capacity of 32 is acceptable.
     per_class_top_k: int = 64
     # approx_max_k is the TPU-native top-k (per-lane binning); exact lax.top_k
     # behind the flag for bit-parity runs.
