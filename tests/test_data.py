@@ -366,3 +366,38 @@ def test_parse_xml_malformed_inputs(tmp_path):
         np.testing.assert_array_equal(np.asarray(nb), [[9, 19, 29, 39]])
         np.testing.assert_array_equal(np.asarray(nc), [11])
         np.testing.assert_array_equal(np.asarray(nd), [True])
+
+
+def test_sharded_loader_rows_match_unsharded(voc_root):
+    """Loader(shard=(i,n)) yields exactly rows [i*b/n,(i+1)*b/n) of the
+    unsharded batch — including through the spawn worker pool."""
+    records = voc.load_records(voc_root, train=True)
+    cfg0 = DataConfig(batch_size=4, num_workers=0, max_boxes=8)
+    cfg2 = DataConfig(batch_size=4, num_workers=2, max_boxes=8)
+    full = next(iter(pipeline.Loader(records, cfg0, train=False).epoch(0)))
+    for si in (0, 1):
+        for cfg in (cfg0, cfg2):
+            ld = pipeline.Loader(records, cfg, train=False, shard=(si, 2))
+            b = next(iter(ld.epoch(0)))
+            ld.close()
+            assert int(b["global_size"]) == 4
+            np.testing.assert_array_equal(
+                b["images"], full["images"][si * 2:(si + 1) * 2])
+            np.testing.assert_array_equal(
+                b["image_ids"], full["image_ids"][si * 2:(si + 1) * 2])
+
+
+def test_uint8_transfer_numpy_fallback_path(voc_root):
+    """transfer_dtype=uint8 works through the numpy (non-native) augment
+    fallback too: raw uint8 out, boxes normalized."""
+    records = voc.load_records(voc_root, train=True)
+    ex = pipeline.prepare_example(records[0], 300, True, False, seed=5,
+                                  use_native_augment=False,
+                                  transfer_dtype="uint8")
+    assert ex.image.dtype == np.uint8 and ex.image.shape == (300, 300, 3)
+    if len(ex.boxes):
+        assert ex.boxes.min() >= 0.0 and ex.boxes.max() <= 1.0
+    # and the no-augment eval-style path
+    ex2 = pipeline.prepare_example(records[0], 300, False, False,
+                                   transfer_dtype="uint8")
+    assert ex2.image.dtype == np.uint8
