@@ -78,9 +78,13 @@ def main() -> int:
     report = buf.getvalue()
     print(report)
     val_map = float(report.strip().rsplit("=", 1)[-1])
+    # Count only per-class lines ("<class>  AP = x"); "mAP =" would match a
+    # bare "AP =" substring search and inflate the count by one.
+    import re
+    per_class = len(re.findall(r"^\s*\w+\s+AP = ", report, re.MULTILINE))
     print(json.dumps({"stage": "cli_eval", "val_map": val_map,
                       "wall_seconds": round(time.perf_counter() - t0, 1),
-                      "per_class_lines": report.count("AP =")}))
+                      "per_class_lines": per_class}))
 
     # --- (a)+(b): 5k-image eval wall time, approx vs exact ---------------
     synthetic.generate_voc(big_root, num_2007=EVAL_SCALE_IMAGES, num_2012=0,

@@ -87,9 +87,13 @@ def build_handler(detector, classes):
                 arr = np.asarray(im.resize((size, size)), np.float32) / 255.0
                 arr = (arr - mean) / std
             batch = np.broadcast_to(arr, (bs, size, size, 3)).copy()
-            det_boxes, det_scores, det_classes, det_valid = detector(batch)
-            valid = np.asarray(det_valid[0])
-            boxes = np.asarray(det_boxes[0])[valid] * [w, h, w, h]
+            # One host pull for all four outputs: per-array np.asarray on
+            # the serving hot path costs a device round-trip each.
+            import jax
+            det_boxes, det_scores, det_classes, det_valid = jax.device_get(
+                detector(batch))
+            valid = det_valid[0]
+            boxes = det_boxes[0][valid] * [w, h, w, h]
             out = {
                 "detections": [
                     {"box_xyxy": [round(float(v), 1) for v in b],
@@ -97,8 +101,8 @@ def build_handler(detector, classes):
                      "score": round(float(s), 4)}
                     for b, c, s in zip(
                         boxes,
-                        np.asarray(det_classes[0])[valid],
-                        np.asarray(det_scores[0])[valid])
+                        det_classes[0][valid],
+                        det_scores[0][valid])
                 ]
             }
             body = json.dumps(out).encode()

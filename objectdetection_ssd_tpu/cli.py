@@ -190,14 +190,22 @@ def cmd_train(args) -> int:
             params = trainer.state.params
             stats = trainer.state.batch_stats
             if jax.process_count() > 1:
-                # Primary-only side eval: detection runs on this process's
-                # local device, so pull the (replicated) params to host
-                # first — global-mesh arrays can't enter a local jit.
-                if jax.process_index() != 0:
-                    return
-                params = jax.tree_util.tree_map(np.asarray, params)
-                stats = (jax.tree_util.tree_map(np.asarray, stats)
+                # Primary-only side eval on multi-host.  ALL processes
+                # gather the params to host numpy first (collective — a
+                # plain np.asarray would fail on FSDP-sharded leaves that
+                # span non-addressable devices), then the non-primary
+                # processes wait at an explicit host barrier while the
+                # primary evaluates on its local device — NOT inside the
+                # next epoch's device collective, where the skew could
+                # trip transfer watchdogs.
+                from jax.experimental import multihost_utils
+                params = multihost_utils.process_allgather(params)
+                stats = (multihost_utils.process_allgather(stats)
                          if stats is not None else None)
+                if jax.process_index() != 0:
+                    multihost_utils.sync_global_devices(
+                        f"eval_map_epoch_{epoch}")
+                    return
             if not cached_detector:
                 cached_detector.append(Detector(
                     cfg, params, stats,
@@ -207,6 +215,11 @@ def cmd_train(args) -> int:
                                             batch_stats=stats,
                                             detector=cached_detector[0])
             print(f"epoch {epoch}: val mAP = {mean_ap:.4f}")
+            if jax.process_count() > 1:
+                # Release the other processes waiting at the barrier above.
+                from jax.experimental import multihost_utils
+                multihost_utils.sync_global_devices(
+                    f"eval_map_epoch_{epoch}")
     train_loader = Loader(train_recs, cfg.data, cfg.model.image_size,
                           train=True, seed=cfg.train.seed,
                           cache_path=args.image_cache, shard=shard)

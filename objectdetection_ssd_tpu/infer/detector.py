@@ -74,8 +74,9 @@ class Detector:
         self.mesh = mesh
 
         def _infer(params, batch_stats, images):
-            from objectdetection_ssd_tpu.models.ssd import prepare_input
-            images = prepare_input(images, jnp.float32)  # uint8 -> normalized
+            # uint8 batches are normalized inside the model itself
+            # (models/ssd.py:prepare_input — every registry model starts
+            # with it), so no boundary conversion is needed here.
             variables = {"params": params}
             if batch_stats is not None:
                 variables["batch_stats"] = batch_stats

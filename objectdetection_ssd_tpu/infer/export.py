@@ -117,7 +117,13 @@ class ExportedDetector:
         self._call = jax.jit(self.exported.call)
 
     def __call__(self, images: np.ndarray) -> Detections:
-        """(B, S, S, 3) preprocessed f32 images -> Detections.
+        """(B, S, S, 3) images -> Detections.
+
+        The expected image dtype is ``meta["input_dtype"]``: "uint8"
+        artifacts (the default) take RAW 0-255 resized pixels and
+        normalize inside the program; "float32" artifacts take
+        host-ImageNet-normalized images.  A mismatched dtype fails loudly
+        at call time.
 
         The exported program is fixed-shape at the compiled batch size;
         any caller batch size works: SMALLER batches are padded (repeating

@@ -53,6 +53,15 @@ def initialize(coordinator_address: Optional[str] = None,
                                  "MEGASCALE_COORDINATOR_ADDRESS"))
         or "," in env.get("TPU_WORKER_HOSTNAMES", ""))
     if coordinator_address is None and not multi_process_env:
+        if num_processes is not None or process_id is not None:
+            # Half-configured env (NUM_PROCESSES/PROCESS_ID without a
+            # coordinator) must not silently run as an independent
+            # single-process job next to a real multi-host one — the
+            # orphan would train on the FULL dataset and race the shared
+            # checkpoint dir while the other hosts hang in rendezvous.
+            raise ValueError(
+                "NUM_PROCESSES/PROCESS_ID are set but no COORDINATOR_ADDRESS"
+                " — set all three (or none, for single-host)")
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

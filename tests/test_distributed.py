@@ -17,6 +17,12 @@ def test_initialize_noop_single_host(monkeypatch):
     # still a no-op (only a multi-host list is a rendezvous hint).
     monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
     distributed.initialize()
+    # Half-configured multi-host env must fail loudly, not run as an
+    # orphan single-process job next to the real one.
+    monkeypatch.setenv("NUM_PROCESSES", "2")
+    monkeypatch.setenv("PROCESS_ID", "1")
+    with pytest.raises(ValueError, match="COORDINATOR_ADDRESS"):
+        distributed.initialize()
 
 
 def test_global_mesh_covers_all_devices():
