@@ -26,4 +26,4 @@ from objectdetection_ssd_tpu.ops.priors import (priors_for_model,
                                                 ssd300_priors,
                                                 zoom_ratio_priors)
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
