@@ -282,6 +282,67 @@ AxisPlan make_axis_plan(long win_lo, long win_size, long src_size,
   return p;
 }
 
+// One drawn photometric distortion (Util.py:752-780).  op: 0=brightness,
+// 1=contrast (mean filled in later — it depends on the ops before it),
+// 2=saturation, 3=hue; f: blend factor or hue delta.
+struct PhotoOp {
+  int op;
+  float f;
+  float mean;
+};
+
+// Apply the first n ops of the plan to one RGB pixel, in order, with the
+// same per-op clipping the eager full-image passes used — the composition
+// per pixel is bit-identical to materializing each op over the whole
+// image.
+inline void apply_photo_ops(const PhotoOp* ops, int n, float* rgb) {
+  for (int i = 0; i < n; ++i) {
+    const PhotoOp& o = ops[i];
+    if (o.op == 0) {                      // brightness
+      for (int c = 0; c < 3; ++c)
+        rgb[c] = std::min(std::max(rgb[c] * o.f, 0.0f), 1.0f);
+    } else if (o.op == 1) {               // contrast (blend with gray mean)
+      for (int c = 0; c < 3; ++c)
+        rgb[c] = std::min(
+            std::max(o.f * rgb[c] + (1 - o.f) * o.mean, 0.0f), 1.0f);
+    } else if (o.op == 2) {               // saturation (blend with gray)
+      float g = 0.299f * rgb[0] + 0.587f * rgb[1] + 0.114f * rgb[2];
+      for (int c = 0; c < 3; ++c)
+        rgb[c] = std::min(std::max(o.f * rgb[c] + (1 - o.f) * g, 0.0f),
+                          1.0f);
+    } else {                              // hue shift (RGB->HSV->RGB)
+      float r = rgb[0], g = rgb[1], b = rgb[2];
+      float mx = std::max(r, std::max(g, b));
+      float mn = std::min(r, std::min(g, b));
+      float span = mx - mn;
+      float s = mx > 0 ? span / mx : 0.0f;
+      float hh = 0.0f;
+      if (span > 0) {
+        if (mx == r) hh = (g - b) / span;
+        else if (mx == g) hh = 2.0f + (b - r) / span;
+        else hh = 4.0f + (r - g) / span;
+      }
+      hh = hh / 6.0f;
+      hh -= std::floor(hh);
+      hh += o.f;
+      hh -= std::floor(hh);
+      float v6 = hh * 6.0f;
+      int sector = (int)v6 % 6;
+      float f = v6 - std::floor(v6);
+      float p = mx * (1 - s), q = mx * (1 - s * f),
+            t = mx * (1 - s * (1 - f));
+      switch (sector) {
+        case 0: rgb[0] = mx; rgb[1] = t; rgb[2] = p; break;
+        case 1: rgb[0] = q; rgb[1] = mx; rgb[2] = p; break;
+        case 2: rgb[0] = p; rgb[1] = mx; rgb[2] = t; break;
+        case 3: rgb[0] = p; rgb[1] = q; rgb[2] = mx; break;
+        case 4: rgb[0] = t; rgb[1] = p; rgb[2] = mx; break;
+        default: rgb[0] = mx; rgb[1] = p; rgb[2] = q; break;
+      }
+    }
+  }
+}
+
 float iou_1v1(const float* a, const float* b) {
   float ix = std::min(a[2], b[2]) - std::max(a[0], b[0]);
   float iy = std::min(a[3], b[3]) - std::max(a[1], b[1]);
@@ -321,75 +382,23 @@ int train_augment(const float* img, long h, long w, const float* boxes,
   };
 
   // ---- photometric distortions (Util.py:752-780) -------------------------
-  std::vector<float> buf(img, img + (size_t)h * w * 3);
+  // DRAWN here (same rng call order as applying eagerly), APPLIED later —
+  // only to the pixels the resample actually reads: after an expand+crop
+  // the window often covers a fraction of the source, and the per-pixel
+  // op chain composes to the bit-identical result either way.  Contrast's
+  // gray mean still spans the FULL image (reference semantics: photometric
+  // runs before expand/crop); it is computed in a read-only pass below
+  // once the plan is known.
+  PhotoOp photo[4];
+  int n_photo = 0;
   int order[4] = {0, 1, 2, 3};
   std::shuffle(order, order + 4, rng);
   for (int oi = 0; oi < 4; ++oi) {
     if (uniform(0.0, 1.0) >= 0.5) continue;
     int op = order[oi];
-    if (op == 0) {                       // brightness
-      float f = (float)uniform(0.5, 1.5);
-#pragma omp parallel for schedule(static)
-      for (long i = 0; i < h * w * 3; ++i)
-        buf[i] = std::min(std::max(buf[i] * f, 0.0f), 1.0f);
-    } else if (op == 1) {                // contrast (blend with gray mean)
-      double sum = 0.0;
-#pragma omp parallel for reduction(+:sum) schedule(static)
-      for (long i = 0; i < h * w; ++i)
-        sum += 0.299 * buf[i * 3] + 0.587 * buf[i * 3 + 1] +
-               0.114 * buf[i * 3 + 2];
-      float m = (float)(sum / (h * w));
-      float f = (float)uniform(0.5, 1.5);
-#pragma omp parallel for schedule(static)
-      for (long i = 0; i < h * w * 3; ++i)
-        buf[i] = std::min(std::max(f * buf[i] + (1 - f) * m, 0.0f), 1.0f);
-    } else if (op == 2) {                // saturation (blend with gray)
-      float f = (float)uniform(0.5, 1.5);
-#pragma omp parallel for schedule(static)
-      for (long i = 0; i < h * w; ++i) {
-        float g = 0.299f * buf[i * 3] + 0.587f * buf[i * 3 + 1] +
-                  0.114f * buf[i * 3 + 2];
-        for (int c = 0; c < 3; ++c) {
-          float v = f * buf[i * 3 + c] + (1 - f) * g;
-          buf[i * 3 + c] = std::min(std::max(v, 0.0f), 1.0f);
-        }
-      }
-    } else {                             // hue shift (RGB->HSV->RGB)
-      float delta = (float)uniform(-18.0 / 255.0, 18.0 / 255.0);
-#pragma omp parallel for schedule(static)
-      for (long i = 0; i < h * w; ++i) {
-        float r = buf[i * 3], g = buf[i * 3 + 1], b = buf[i * 3 + 2];
-        float mx = std::max(r, std::max(g, b));
-        float mn = std::min(r, std::min(g, b));
-        float span = mx - mn;
-        float s = mx > 0 ? span / mx : 0.0f;
-        float hh = 0.0f;
-        if (span > 0) {
-          if (mx == r) hh = (g - b) / span;
-          else if (mx == g) hh = 2.0f + (b - r) / span;
-          else hh = 4.0f + (r - g) / span;
-        }
-        hh = hh / 6.0f;
-        hh -= std::floor(hh);
-        hh += delta;
-        hh -= std::floor(hh);
-        float v6 = hh * 6.0f;
-        int sector = (int)v6 % 6;
-        float f = v6 - std::floor(v6);
-        float p = mx * (1 - s), q = mx * (1 - s * f),
-              t = mx * (1 - s * (1 - f));
-        float rr, gg, bb;
-        switch (sector) {
-          case 0: rr = mx; gg = t; bb = p; break;
-          case 1: rr = q; gg = mx; bb = p; break;
-          case 2: rr = p; gg = mx; bb = t; break;
-          case 3: rr = p; gg = q; bb = mx; break;
-          case 4: rr = t; gg = p; bb = mx; break;
-          default: rr = mx; gg = p; bb = q; break;
-        }
-        buf[i * 3] = rr; buf[i * 3 + 1] = gg; buf[i * 3 + 2] = bb;
-      }
-    }
+    float f = (op == 3) ? (float)uniform(-18.0 / 255.0, 18.0 / 255.0)
+                        : (float)uniform(0.5, 1.5);
+    photo[n_photo++] = PhotoOp{op, f, 0.0f};
   }
 
   // Working box set (source-pixel coords; virtual-canvas offset applied via
@@ -487,17 +496,85 @@ int train_augment(const float* img, long h, long w, const float* boxes,
   AxisPlan hp = make_axis_plan(win.x1, win_w, w, out_size);
   AxisPlan vp = make_axis_plan(win.y1, win_h, h, out_size);
   long row_lo = vp.src_lo, nrows = vp.src_hi - vp.src_lo;
+  long col_lo = hp.src_lo, ncols = hp.src_hi - hp.src_lo;
+
+  // Contrast gray mean over the FULL image through the ops before it
+  // (reference semantics: photometric runs before expand/crop, so the mean
+  // spans the whole image even when only a window survives).  Read-only;
+  // at most one contrast per plan; the common case (contrast first) is a
+  // tight vectorizable gray reduction.
+  for (int i = 0; i < n_photo; ++i) {
+    if (photo[i].op != 1) continue;
+    double sum = 0.0;
+    if (i == 0) {
+#pragma omp parallel for reduction(+:sum) schedule(static)
+      for (long px = 0; px < h * w; ++px)
+        sum += 0.299 * img[px * 3] + 0.587 * img[px * 3 + 1] +
+               0.114 * img[px * 3 + 2];
+    } else {
+#pragma omp parallel for reduction(+:sum) schedule(static)
+      for (long px = 0; px < h * w; ++px) {
+        float rgb[3] = {img[px * 3], img[px * 3 + 1], img[px * 3 + 2]};
+        apply_photo_ops(photo, i, rgb);
+        sum += 0.299 * rgb[0] + 0.587 * rgb[1] + 0.114 * rgb[2];
+      }
+    }
+    photo[i].mean = (float)(sum / (h * w));
+  }
+
+  // Copy ONLY the window-visible region, then apply the ops as separate
+  // tight passes over it — per-op loops auto-vectorize; a fused per-pixel
+  // chain measured SLOWER than the eager full-image version (branchy
+  // dispatch defeats SIMD; see RESULTS.md r3).
+  std::vector<float> pbuf((size_t)std::max(nrows, 0L) *
+                          std::max(ncols, 0L) * 3);
+#pragma omp parallel for schedule(static)
+  for (long r = 0; r < nrows; ++r) {
+    std::memcpy(pbuf.data() + (size_t)r * ncols * 3,
+                img + ((size_t)(row_lo + r) * w + col_lo) * 3,
+                (size_t)ncols * 3 * sizeof(float));
+  }
+  const long npix = std::max(nrows, 0L) * std::max(ncols, 0L);
+  for (int i = 0; i < n_photo; ++i) {
+    const PhotoOp& o = photo[i];
+    float f = o.f;
+    float* pb = pbuf.data();
+    if (o.op == 0) {                      // brightness
+#pragma omp parallel for schedule(static)
+      for (long j = 0; j < npix * 3; ++j)
+        pb[j] = std::min(std::max(pb[j] * f, 0.0f), 1.0f);
+    } else if (o.op == 1) {               // contrast
+      float m = o.mean;
+#pragma omp parallel for schedule(static)
+      for (long j = 0; j < npix * 3; ++j)
+        pb[j] = std::min(std::max(f * pb[j] + (1 - f) * m, 0.0f), 1.0f);
+    } else if (o.op == 2) {               // saturation
+#pragma omp parallel for schedule(static)
+      for (long j = 0; j < npix; ++j) {
+        float g = 0.299f * pb[j * 3] + 0.587f * pb[j * 3 + 1] +
+                  0.114f * pb[j * 3 + 2];
+        for (int c = 0; c < 3; ++c) {
+          float v = f * pb[j * 3 + c] + (1 - f) * g;
+          pb[j * 3 + c] = std::min(std::max(v, 0.0f), 1.0f);
+        }
+      }
+    } else {                              // hue
+#pragma omp parallel for schedule(static)
+      for (long j = 0; j < npix; ++j)
+        apply_photo_ops(&photo[i], 1, pb + j * 3);
+    }
+  }
 
   std::vector<float> tmp((size_t)std::max(nrows, 0L) * out_size * 3);
 #pragma omp parallel for schedule(static)
   for (long r = 0; r < nrows; ++r) {
-    const float* srow = buf.data() + (size_t)(row_lo + r) * w * 3;
+    const float* srow = pbuf.data() + (size_t)r * ncols * 3;
     float* drow = tmp.data() + (size_t)r * out_size * 3;
     for (long x = 0; x < out_size; ++x) {
       float fw = hp.fill_w[x];
       float a0 = fw * fill3[0], a1 = fw * fill3[1], a2 = fw * fill3[2];
       for (int t = hp.tap_start[x]; t < hp.tap_start[x + 1]; ++t) {
-        const float* px = srow + (size_t)hp.tap_src[t] * 3;
+        const float* px = srow + (size_t)(hp.tap_src[t] - col_lo) * 3;
         float wt = hp.tap_w[t];
         a0 += wt * px[0];
         a1 += wt * px[1];
