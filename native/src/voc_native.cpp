@@ -291,6 +291,41 @@ struct PhotoOp {
   float mean;
 };
 
+// Hue rotation of one RGB pixel by delta turns (sector-switch HSV
+// round-trip).  A branchless k = fmod(n + 6h, 6) formulation measured no
+// faster (within host noise) — the extra floor/fmod flops offset the
+// eliminated branches on this scalar layout — so the simpler form stays.
+inline void hue_shift_px(float* rgb, float delta) {
+  float r = rgb[0], g = rgb[1], b = rgb[2];
+  float mx = std::max(r, std::max(g, b));
+  float mn = std::min(r, std::min(g, b));
+  float span = mx - mn;
+  float s = mx > 0 ? span / mx : 0.0f;
+  float hh = 0.0f;
+  if (span > 0) {
+    if (mx == r) hh = (g - b) / span;
+    else if (mx == g) hh = 2.0f + (b - r) / span;
+    else hh = 4.0f + (r - g) / span;
+  }
+  hh = hh / 6.0f;
+  hh -= std::floor(hh);
+  hh += delta;
+  hh -= std::floor(hh);
+  float v6 = hh * 6.0f;
+  int sector = (int)v6 % 6;
+  float f = v6 - std::floor(v6);
+  float p = mx * (1 - s), q = mx * (1 - s * f),
+        t = mx * (1 - s * (1 - f));
+  switch (sector) {
+    case 0: rgb[0] = mx; rgb[1] = t; rgb[2] = p; break;
+    case 1: rgb[0] = q; rgb[1] = mx; rgb[2] = p; break;
+    case 2: rgb[0] = p; rgb[1] = mx; rgb[2] = t; break;
+    case 3: rgb[0] = p; rgb[1] = q; rgb[2] = mx; break;
+    case 4: rgb[0] = t; rgb[1] = p; rgb[2] = mx; break;
+    default: rgb[0] = mx; rgb[1] = p; rgb[2] = q; break;
+  }
+}
+
 // Apply the first n ops of the plan to one RGB pixel, in order, with the
 // same per-op clipping the eager full-image passes used — the composition
 // per pixel is bit-identical to materializing each op over the whole
@@ -311,34 +346,7 @@ inline void apply_photo_ops(const PhotoOp* ops, int n, float* rgb) {
         rgb[c] = std::min(std::max(o.f * rgb[c] + (1 - o.f) * g, 0.0f),
                           1.0f);
     } else {                              // hue shift (RGB->HSV->RGB)
-      float r = rgb[0], g = rgb[1], b = rgb[2];
-      float mx = std::max(r, std::max(g, b));
-      float mn = std::min(r, std::min(g, b));
-      float span = mx - mn;
-      float s = mx > 0 ? span / mx : 0.0f;
-      float hh = 0.0f;
-      if (span > 0) {
-        if (mx == r) hh = (g - b) / span;
-        else if (mx == g) hh = 2.0f + (b - r) / span;
-        else hh = 4.0f + (r - g) / span;
-      }
-      hh = hh / 6.0f;
-      hh -= std::floor(hh);
-      hh += o.f;
-      hh -= std::floor(hh);
-      float v6 = hh * 6.0f;
-      int sector = (int)v6 % 6;
-      float f = v6 - std::floor(v6);
-      float p = mx * (1 - s), q = mx * (1 - s * f),
-            t = mx * (1 - s * (1 - f));
-      switch (sector) {
-        case 0: rgb[0] = mx; rgb[1] = t; rgb[2] = p; break;
-        case 1: rgb[0] = q; rgb[1] = mx; rgb[2] = p; break;
-        case 2: rgb[0] = p; rgb[1] = mx; rgb[2] = t; break;
-        case 3: rgb[0] = p; rgb[1] = q; rgb[2] = mx; break;
-        case 4: rgb[0] = t; rgb[1] = p; rgb[2] = mx; break;
-        default: rgb[0] = mx; rgb[1] = p; rgb[2] = q; break;
-      }
+      hue_shift_px(rgb, o.f);
     }
   }
 }
@@ -558,10 +566,10 @@ int train_augment(const float* img, long h, long w, const float* boxes,
           pb[j * 3 + c] = std::min(std::max(v, 0.0f), 1.0f);
         }
       }
-    } else {                              // hue
+    } else {                              // hue (branchless -> vectorizes)
 #pragma omp parallel for schedule(static)
       for (long j = 0; j < npix; ++j)
-        apply_photo_ops(&photo[i], 1, pb + j * 3);
+        hue_shift_px(pb + j * 3, f);
     }
   }
 
