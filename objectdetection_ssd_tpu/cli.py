@@ -93,6 +93,9 @@ def build_config(args) -> config_lib.Config:
             cfg.train, tensorboard_dir=args.tb_dir))
     if getattr(args, "remat", False):
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, remat=True))
+    if getattr(args, "hnm_topk", None) is not None:
+        cfg = cfg.replace(loss=dataclasses.replace(
+            cfg.loss, hnm_topk=args.hnm_topk))
     return cfg
 
 
@@ -348,6 +351,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                               "from-scratch runs want constant lr — note "
                               "the reference itself never calls "
                               "scheduler.step(), train.py:57)")
+    p_train.add_argument("--hnm-topk", type=int, default=None,
+                         help="hard-negative-mining partial top-k cap "
+                              "(0 = always full sort; default 1024; exact "
+                              "either way — see LossConfig.hnm_topk)")
     p_train.add_argument("--remat", action="store_true",
                          help="gradient-checkpoint the VGG trunk at stage "
                               "boundaries (use for batch sizes >= 256 "

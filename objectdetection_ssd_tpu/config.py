@@ -100,6 +100,14 @@ class LossConfig:
     # them: /10 for centers, *5 / /5 for sizes (`Util.py:86-102`).
     center_variance_inv: float = 10.0
     size_variance_inv: float = 5.0
+    # Hard-negative mining only needs the SUM of each image's top
+    # 3*N_pos negative CE values (`Losses.py:188-195`), not the full
+    # descending sort of all 8732 — rank the top `hnm_topk` candidates with
+    # lax.top_k instead, with a lax.cond fallback to the exact full sort
+    # whenever any image needs more than `hnm_topk` negatives (so the math
+    # is ALWAYS identical to the reference; the cap only picks the faster
+    # of two exact formulations at runtime).  0 = always full sort.
+    hnm_topk: int = 1024
 
 
 @dataclasses.dataclass(frozen=True)

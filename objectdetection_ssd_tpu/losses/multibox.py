@@ -14,8 +14,9 @@ Reference semantics reproduced (`Losses.py:119-199`):
 
 The reference computes matching with two Python loops over the batch and a
 per-row `.sort` host sync per step (`Losses.py:152-167,191`); here the whole
-thing is one XLA program: vmapped matching, masked reductions, and a single
-batched descending sort for the negative ranking.
+thing is one XLA program: vmapped matching, masked reductions, and a batched
+partial top-k (with an exact full-sort fallback guarded by lax.cond) for the
+negative ranking — see `LossConfig.hnm_topk`.
 """
 
 from __future__ import annotations
@@ -134,10 +135,34 @@ def multibox_loss(pred_offsets: jnp.ndarray,
     pos_loss_sum = jnp.sum(cce * pos_f)
 
     neg_cce = jnp.where(pos, 0.0, cce)
-    neg_sorted = -jnp.sort(-neg_cce, axis=1)                # desc per image
-    rank = jnp.arange(num_priors)[None, :]
-    keep = rank < (config.neg_pos_ratio * num_pos_per_image)[:, None]
-    hn_loss_sum = jnp.sum(jnp.where(keep, neg_sorted, 0.0))
+    per_image_keep = config.neg_pos_ratio * num_pos_per_image  # (B,)
+
+    def _hn_sum_full_sort(neg: jnp.ndarray) -> jnp.ndarray:
+        """Exact reference ranking: full descending sort (`Losses.py:191`)."""
+        neg_sorted = -jnp.sort(-neg, axis=1)
+        rank = jnp.arange(num_priors)[None, :]
+        keep = rank < per_image_keep[:, None]
+        return jnp.sum(jnp.where(keep, neg_sorted, 0.0))
+
+    kcap = int(config.hnm_topk)
+    if 0 < kcap < num_priors:
+        # Only the top 3*N_pos(image) negatives contribute; when every image
+        # needs <= kcap of them (always, in practice: N_pos is tens, not
+        # thousands), a partial top_k ranks just those candidates instead of
+        # sorting all `num_priors`.  The lax.cond guard falls back to the
+        # full sort otherwise, so the result is exact for ANY input — both
+        # branches sum the same top-k multiset (CE >= 0, ties sum equally).
+        def _hn_sum_topk(neg: jnp.ndarray) -> jnp.ndarray:
+            vals, _ = jax.lax.top_k(neg, kcap)              # (B, kcap) desc
+            rank = jnp.arange(kcap)[None, :]
+            keep = rank < per_image_keep[:, None]
+            return jnp.sum(jnp.where(keep, vals, 0.0))
+
+        hn_loss_sum = jax.lax.cond(
+            jnp.max(per_image_keep) <= kcap,
+            _hn_sum_topk, _hn_sum_full_sort, neg_cce)
+    else:
+        hn_loss_sum = _hn_sum_full_sort(neg_cce)
 
     cls_loss = (hn_loss_sum + pos_loss_sum) / safe_pos
 

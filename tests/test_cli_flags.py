@@ -35,7 +35,7 @@ def test_train_flags_reach_config():
         "train", "--bf16", "--backbone", "vgg16",
         "--freeze-trunk-stages", "2", "--grad-accum", "4",
         "--tb-dir", "/tmp/tb", "--batch-size", "16",
-        "--parity-split",
+        "--parity-split", "--hnm-topk", "0",
     ])
     cfg = cli.build_config(args)
     assert cfg.model.compute_dtype == "bfloat16"
@@ -44,6 +44,7 @@ def test_train_flags_reach_config():
     assert cfg.train.tensorboard_dir == "/tmp/tb"
     assert cfg.data.batch_size == 16
     assert cfg.data.parity_split is True
+    assert cfg.loss.hnm_topk == 0
 
 
 def test_resnet_backbone_sets_image_size():

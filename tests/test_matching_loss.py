@@ -231,3 +231,43 @@ def test_loss_is_jittable_and_differentiable():
     assert np.isfinite(np.asarray(g_off)).all()
     assert np.isfinite(np.asarray(g_logits)).all()
     assert float(jnp.abs(g_off).sum()) > 0
+
+def test_hnm_topk_formulations_agree():
+    """The partial-top_k HNM (`LossConfig.hnm_topk`) is exact: values and
+    gradients match the full-sort formulation, including when the cap binds
+    and the lax.cond falls back to the sort (`Losses.py:188-195` semantics
+    either way)."""
+    import jax
+
+    rng = np.random.default_rng(11)
+    pri = priors.ssd300_priors()
+    P = pri.shape[0]
+    bs, max_boxes = 3, 8
+    n_objs = [2, 5, 1]
+    gt_list = [_random_boxes(rng, n) for n in n_objs]
+    cls_list = [rng.integers(0, 20, n).astype(np.int64) for n in n_objs]
+    boxes_p, classes_p, mask_p = _pad(gt_list, cls_list, max_boxes)
+    off = jnp.asarray(rng.normal(0, 1, (bs, P, 4)).astype(np.float32))
+    logits = jnp.asarray(rng.normal(0, 1, (bs, P, 21)).astype(np.float32))
+
+    def run(k):
+        cfg = LossConfig(hnm_topk=k)
+
+        def f(o, l):
+            return multibox_loss(o, l, jnp.asarray(boxes_p),
+                                 jnp.asarray(classes_p), jnp.asarray(mask_p),
+                                 jnp.asarray(pri), config=cfg)
+
+        out = jax.jit(f)(off, logits)
+        g_off, g_logits = jax.jit(
+            jax.grad(lambda o, l: f(o, l).total, argnums=(0, 1)))(off, logits)
+        return out, np.asarray(g_off), np.asarray(g_logits)
+
+    base, g_off0, g_log0 = run(0)           # always full sort
+    for k in (1024, 2):                     # fast path / cap binds -> cond
+        got, g_off, g_log = run(k)
+        np.testing.assert_allclose(float(got.cls), float(base.cls), rtol=1e-6)
+        np.testing.assert_allclose(float(got.total), float(base.total),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(g_off, g_off0, rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(g_log, g_log0, rtol=1e-6, atol=1e-8)
