@@ -34,6 +34,11 @@ def main() -> int:
                     help="requests per client")
     ap.add_argument("--batch", type=int, default=1,
                     help="compiled serving batch size")
+    ap.add_argument("--dynamic-batch", action="store_true",
+                    help="coalesce concurrent requests into shared device "
+                         "calls (A/B vs the default per-request mode; "
+                         "needs --batch > 1)")
+    ap.add_argument("--max-wait-ms", type=float, default=4.0)
     args = ap.parse_args()
 
     import jax
@@ -56,7 +61,11 @@ def main() -> int:
     export_detector(cfg, params, artifact, batch_size=args.batch)
 
     det = serve_http.MinimalExportedDetector(artifact)
-    handler = serve_http.build_handler(det, det.meta["classes"])
+    batcher = None
+    if args.dynamic_batch and det.meta["batch_size"] > 1:
+        batcher = serve_http.MicroBatcher(det, max_wait_ms=args.max_wait_ms)
+    handler = serve_http.build_handler(det, det.meta["classes"],
+                                       batcher=batcher)
     # ThreadingHTTPServer so concurrent clients actually overlap in the
     # server (the jit call itself serializes on the device — that's the
     # point of the measurement).
@@ -100,6 +109,9 @@ def main() -> int:
     lats_ms = np.asarray(sorted(lats)) * 1000.0
     print(json.dumps({
         "metric": "serve_http_latency_ms",
+        "dynamic_batching": batcher is not None,
+        "max_wait_ms": args.max_wait_ms if batcher is not None else None,
+        "batch": args.batch,
         "clients": args.clients,
         "requests": len(lats),
         "p50": round(float(np.percentile(lats_ms, 50)), 1),

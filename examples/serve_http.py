@@ -15,8 +15,16 @@ major 1).
     curl -s -X POST --data-binary @dog.jpg localhost:8000/detect | jq .
 
 POST /detect with a JPEG/PNG body returns JSON detections in pixel coords
-of the posted image.  Single-image batches for simplicity; production
-serving would batch requests up to the artifact's compiled batch size.
+of the posted image.  `--dynamic-batch` (with an artifact compiled for
+batch_size > 1) coalesces concurrent requests into shared device calls
+(MicroBatcher below) — the standard production-serving arrangement when
+device compute is the contended resource.  It is OFF by default because on
+this container's relay transport per-request bs=1 calls from overlapping
+handler threads measured strictly faster (70.4 vs 42.6 req/s at 8 clients;
+benchmarks/RESULTS.md "HTTP serving"): compute is ~0.4 ms/image while
+transfer+round-trip dominates, and batching serializes phases that
+pipelined per-request calls overlap.  On a host with local PCIe/ICI
+attachment and many cores, the tradeoff reverses — measure before picking.
 """
 
 from __future__ import annotations
@@ -24,8 +32,11 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import queue
 import sys
-from http.server import BaseHTTPRequestHandler, HTTPServer
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import os
 
@@ -56,7 +67,89 @@ class MinimalExportedDetector:
         return self._call(images)
 
 
-def build_handler(detector, classes):
+class MicroBatcher:
+    """Coalesce concurrent requests into one device call (dynamic batching).
+
+    A single dispatcher thread pulls pending preprocessed images off a
+    queue.  The first image of a batch waits at most ``max_wait_ms`` for
+    companions; the batch is padded (by repeating row 0) to the artifact's
+    compiled batch size, runs ONE program execution, and each row fans back
+    out to its waiting handler thread.  Under load the wait never triggers —
+    the queue is already non-empty when the dispatcher comes back around —
+    so throughput approaches batch_size images per device step while an idle
+    server still answers a lone request within ~max_wait_ms of arrival.
+
+    Framework-free like the rest of this file: numpy + jax only.
+    """
+
+    def __init__(self, detector, max_wait_ms: float = 4.0,
+                 max_in_flight: int = 4):
+        self._det = detector
+        self._bs = int(detector.meta["batch_size"])
+        self._wait = max_wait_ms / 1000.0
+        self._q: queue.Queue = queue.Queue()
+        # Two-stage pipeline: the dispatch thread launches device calls
+        # (async dispatch returns before the program finishes) and the
+        # completion thread pulls results and wakes waiters — so batch N+1's
+        # host->device transfer and compute overlap batch N's device->host
+        # pull.  max_in_flight bounds device-side queueing (latency) and
+        # host memory.
+        self._pending: queue.Queue = queue.Queue(maxsize=max_in_flight)
+        threading.Thread(target=self._loop, daemon=True).start()
+        threading.Thread(target=self._completion_loop, daemon=True).start()
+
+    def infer_one(self, arr: np.ndarray):
+        """Blocking single-image inference; returns this image's
+        (boxes, scores, classes, valid) rows as numpy arrays."""
+        done = threading.Event()
+        slot = [None, None]                    # [result, exception]
+        self._q.put((arr, slot, done))
+        done.wait()
+        if slot[1] is not None:
+            raise slot[1]
+        return slot[0]
+
+    def _loop(self):
+        while True:
+            batch = [self._q.get()]
+            deadline = time.perf_counter() + self._wait
+            while len(batch) < self._bs:
+                left = deadline - time.perf_counter()
+                if left <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=left))
+                except queue.Empty:
+                    break
+            rows = [item[0] for item in batch]
+            rows += [rows[0]] * (self._bs - len(rows))     # pad tail
+            try:
+                out = self._det(np.stack(rows))            # async dispatch
+            except Exception as e:
+                for _, slot, done in batch:
+                    slot[1] = e
+                    done.set()
+                continue
+            self._pending.put((out, batch))     # blocks at max_in_flight
+
+    def _completion_loop(self):
+        import jax
+        while True:
+            out, batch = self._pending.get()
+            try:
+                # One host pull for the whole batch (per-array asarray on
+                # the hot path costs a device round-trip each).
+                boxes, scores, classes, valid = jax.device_get(out)
+                for i, (_, slot, done) in enumerate(batch):
+                    slot[0] = (boxes[i], scores[i], classes[i], valid[i])
+                    done.set()
+            except Exception as e:              # fan the failure out too
+                for _, slot, done in batch:
+                    slot[1] = e
+                    done.set()
+
+
+def build_handler(detector, classes, batcher: MicroBatcher | None = None):
     from PIL import Image
 
     mean = np.asarray([0.485, 0.456, 0.406], np.float32)
@@ -86,14 +179,19 @@ def build_handler(detector, classes):
             else:
                 arr = np.asarray(im.resize((size, size)), np.float32) / 255.0
                 arr = (arr - mean) / std
-            batch = np.broadcast_to(arr, (bs, size, size, 3)).copy()
-            # One host pull for all four outputs: per-array np.asarray on
-            # the serving hot path costs a device round-trip each.
-            import jax
-            det_boxes, det_scores, det_classes, det_valid = jax.device_get(
-                detector(batch))
-            valid = det_valid[0]
-            boxes = det_boxes[0][valid] * [w, h, w, h]
+            if batcher is not None:
+                det_boxes, det_scores, det_classes, det_valid = \
+                    batcher.infer_one(arr)
+            else:
+                batch = np.broadcast_to(arr, (bs, size, size, 3)).copy()
+                # One host pull for all four outputs: per-array np.asarray
+                # on the serving hot path costs a device round-trip each.
+                import jax
+                b, s, c, v = jax.device_get(detector(batch))
+                det_boxes, det_scores, det_classes, det_valid = (
+                    b[0], s[0], c[0], v[0])
+            valid = det_valid
+            boxes = det_boxes[valid] * [w, h, w, h]
             out = {
                 "detections": [
                     {"box_xyxy": [round(float(v), 1) for v in b],
@@ -101,8 +199,8 @@ def build_handler(detector, classes):
                      "score": round(float(s), 4)}
                     for b, c, s in zip(
                         boxes,
-                        det_classes[0][valid],
-                        det_scores[0][valid])
+                        det_classes[valid],
+                        det_scores[valid])
                 ]
             }
             body = json.dumps(out).encode()
@@ -122,13 +220,27 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("artifact", help="directory written by `cli export`")
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--dynamic-batch", action="store_true",
+                   help="coalesce concurrent requests into shared device "
+                        "calls (needs a batch_size>1 artifact; see module "
+                        "docstring for when this wins)")
+    p.add_argument("--max-wait-ms", type=float, default=4.0,
+                   help="max time the first request of a batch waits for "
+                        "companions (idle-server latency floor)")
     args = p.parse_args(argv)
 
     det = MinimalExportedDetector(args.artifact)
-    handler = build_handler(det, det.meta["classes"])
-    server = HTTPServer(("127.0.0.1", args.port), handler)
+    batcher = None
+    if args.dynamic_batch and det.meta["batch_size"] > 1:
+        batcher = MicroBatcher(det, max_wait_ms=args.max_wait_ms)
+    handler = build_handler(det, det.meta["classes"], batcher=batcher)
+    # ThreadingHTTPServer: handlers must overlap for requests to coalesce
+    # in the batcher (and for keep-alive clients not to starve each other).
+    server = ThreadingHTTPServer(("127.0.0.1", args.port), handler)
+    mode = ("dynamic batching" if batcher is not None
+            else "per-request calls")
     print(f"serving on http://127.0.0.1:{args.port}/detect "
-          f"(batch={det.meta['batch_size']})")
+          f"(batch={det.meta['batch_size']}, {mode})")
     server.serve_forever()
     return 0
 

@@ -178,3 +178,116 @@ def test_export_uint8_artifact_matches_live(tmp_path, small_cfg, params):
     np.testing.assert_allclose(np.asarray(d_live.boxes_xyxy),
                                np.asarray(d_srv.boxes_xyxy), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_micro_batcher_coalesces_and_matches(tmp_path, small_cfg, params):
+    """Dynamic batching (examples/serve_http.py MicroBatcher): concurrent
+    requests coalesce into shared device calls and each caller gets exactly
+    the rows a direct per-image call would produce — including when the
+    batch is padded (fewer waiters than the compiled size) and when callers
+    outnumber one batch."""
+    import sys
+    import threading
+
+    sys.path.insert(0, "examples")
+    try:
+        import serve_http
+    finally:
+        sys.path.remove("examples")
+
+    out = export_detector(small_cfg, params, str(tmp_path / "artifact"),
+                          batch_size=4)
+    det = serve_http.MinimalExportedDetector(out)
+    batcher = serve_http.MicroBatcher(det, max_wait_ms=50.0)
+
+    rng = np.random.default_rng(1)
+    n = 6                                   # 4-batch + padded 2-batch
+    if det.meta.get("input_dtype", "float32") == "uint8":
+        imgs = rng.integers(0, 255, (n, 300, 300, 3)).astype(np.uint8)
+    else:
+        imgs = rng.normal(0, 0.5, (n, 300, 300, 3)).astype(np.float32)
+
+    # Oracle: one direct call per image, padded the way the plain handler
+    # pads (broadcast to the compiled batch).
+    want = []
+    for i in range(n):
+        b, s, c, v = jax.device_get(
+            det(np.broadcast_to(imgs[i], (4, 300, 300, 3)).copy()))
+        want.append((b[0], s[0], c[0], v[0]))
+
+    results = [None] * n
+
+    def call(i):
+        results[i] = batcher.infer_one(imgs[i])
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    for i in range(n):
+        got_b, got_s, got_c, got_v = results[i]
+        want_b, want_s, want_c, want_v = want[i]
+        np.testing.assert_array_equal(got_v, want_v)
+        np.testing.assert_allclose(got_s, want_s, rtol=1e-6)
+        np.testing.assert_allclose(got_b, want_b, rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(got_c, want_c)
+
+
+def test_http_serving_dynamic_batching(tmp_path, small_cfg, params):
+    """The HTTP example with a batch>1 artifact + MicroBatcher answers
+    concurrent clients correctly through a real socket."""
+    import io
+    import json
+    import sys
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+    from PIL import Image
+
+    sys.path.insert(0, "examples")
+    try:
+        import serve_http
+    finally:
+        sys.path.remove("examples")
+
+    out = export_detector(small_cfg, params, str(tmp_path / "artifact"),
+                          batch_size=4)
+    det = serve_http.MinimalExportedDetector(out)
+    batcher = serve_http.MicroBatcher(det, max_wait_ms=20.0)
+    handler = serve_http.build_handler(det, det.meta["classes"],
+                                       batcher=batcher)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        payloads = []
+        for seed in range(4):
+            buf = io.BytesIO()
+            Image.fromarray(np.random.default_rng(seed).integers(
+                0, 255, (120, 160, 3), np.uint8)).save(buf, "JPEG")
+            payloads.append(buf.getvalue())
+
+        outs = [None] * 4
+
+        def post(i):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/detect", data=payloads[i],
+                method="POST")
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                outs[i] = (resp.status, json.loads(resp.read()))
+
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for status, payload in outs:
+            assert status == 200
+            assert "detections" in payload
+            for d in payload["detections"]:
+                assert set(d) == {"box_xyxy", "label", "score"}
+    finally:
+        server.shutdown()
