@@ -29,7 +29,8 @@ import numpy as np
 
 
 def _real_loader_bench(bs: int, workers: int, num_images: int,
-                       augment: bool = True) -> dict:
+                       augment: bool = True,
+                       backbone: str = "vgg16") -> dict:
     from objectdetection_ssd_tpu.config import (Config, DataConfig,
                                                 LossConfig, ModelConfig,
                                                 OptimConfig)
@@ -43,6 +44,7 @@ def _real_loader_bench(bs: int, workers: int, num_images: int,
 
     on_tpu = jax.devices()[0].platform != "cpu"
     dtype = "bfloat16" if on_tpu else "float32"
+    size = 300 if backbone == "vgg16" else 224
     tmp = tempfile.mkdtemp(prefix="trainbench_voc_")
     t0 = time.perf_counter()
     synthetic.generate_voc(os.path.join(tmp, "voc"), num_2007=num_images,
@@ -50,14 +52,15 @@ def _real_loader_bench(bs: int, workers: int, num_images: int,
     records = voc.load_records(os.path.join(tmp, "voc"), train=True)
     cfg = DataConfig(batch_size=bs, num_workers=workers, max_boxes=24,
                      augment=augment)
-    loader = Loader(records, cfg, image_size=300, train=True, seed=0,
+    loader = Loader(records, cfg, image_size=size, train=True, seed=0,
                     cache_path=os.path.join(tmp, "cache"))
     t_setup = time.perf_counter() - t0
 
-    model = build_model(ModelConfig(compute_dtype=dtype))
-    priors = jnp.asarray(priors_lib.ssd300_priors())
+    mcfg = ModelConfig(compute_dtype=dtype, backbone=backbone)
+    model = build_model(mcfg)
+    priors = jnp.asarray(priors_lib.priors_for_model(mcfg))
     state = create_train_state(model, jax.random.PRNGKey(0),
-                               jnp.zeros((1, 300, 300, 3)),
+                               jnp.zeros((1, size, size, 3)),
                                OptimConfig(use_lr_schedule=False))
     mesh = mesh_lib.create_mesh()
     state = mesh_lib.replicate(state, mesh)
@@ -82,8 +85,9 @@ def _real_loader_bench(bs: int, workers: int, num_images: int,
     float(metrics["loss"])                        # fence
     dt = time.perf_counter() - t0
     loader.close()
+    name = "ssd300" if backbone == "vgg16" else "ssd_resnet34"
     return {
-        "metric": "ssd300_train_real_loader_images_per_sec_per_chip",
+        "metric": f"{name}_train_real_loader_images_per_sec_per_chip",
         "value": round(n_steps * bs / dt, 1),
         "unit": "images/sec",
         "batch_size": bs,
@@ -116,19 +120,26 @@ def main() -> int:
     ap.add_argument("--remat", action="store_true",
                     help="gradient-checkpoint the VGG trunk at stage "
                          "boundaries (A/B for bs>=256)")
+    ap.add_argument("--backbone", choices=["vgg16", "resnet34"],
+                    default="vgg16",
+                    help="model family: SSD300-VGG16 (300px, 8732 priors) "
+                         "or SSD-ResNet34 (224px, 189 priors)")
     args = ap.parse_args()
     bs = args.batch_size
     if args.real_loader:
         print(json.dumps(_real_loader_bench(bs, args.workers, args.images,
-                                            augment=not args.no_augment)))
+                                            augment=not args.no_augment,
+                                            backbone=args.backbone)))
         return 0
     on_tpu = jax.devices()[0].platform != "cpu"
     dtype = "bfloat16" if on_tpu else "float32"
+    size = 300 if args.backbone == "vgg16" else 224
 
-    model = build_model(ModelConfig(compute_dtype=dtype))
-    priors = jnp.asarray(priors_lib.ssd300_priors())
+    mcfg = ModelConfig(compute_dtype=dtype, backbone=args.backbone)
+    model = build_model(mcfg)
+    priors = jnp.asarray(priors_lib.priors_for_model(mcfg))
     state = create_train_state(model, jax.random.PRNGKey(0),
-                               jnp.zeros((1, 300, 300, 3)),
+                               jnp.zeros((1, size, size, 3)),
                                OptimConfig(use_lr_schedule=False))
     mesh = mesh_lib.create_mesh()
     state = mesh_lib.replicate(state, mesh)
@@ -138,7 +149,7 @@ def main() -> int:
     rng = np.random.default_rng(0)
     m = 24
     batch = {
-        "images": rng.normal(0, 1, (bs, 300, 300, 3)).astype(np.float32),
+        "images": rng.normal(0, 1, (bs, size, size, 3)).astype(np.float32),
         "boxes": np.tile(np.asarray([[[0.1, 0.1, 0.6, 0.6]]], np.float32),
                          (bs, m, 1)),
         "classes": np.tile(np.asarray([[3]], np.int32), (bs, m)),
@@ -154,8 +165,9 @@ def main() -> int:
         state, metrics = train_step(state, batch)
     float(metrics["loss"])                        # fence
     dt = (time.perf_counter() - t0) / n
+    name = "ssd300" if args.backbone == "vgg16" else "ssd_resnet34"
     print(json.dumps({
-        "metric": "ssd300_train_images_per_sec_per_chip",
+        "metric": f"{name}_train_images_per_sec_per_chip",
         "value": round(bs / dt, 1),
         "unit": "images/sec",
         "batch_size": bs,
