@@ -122,10 +122,12 @@ def main() -> int:
     results["fwd_bwd_ms"] = round(dt * 1e3, 2)
 
     # 4) the real train step (adds the SGD+momentum update; donated state).
+    from objectdetection_ssd_tpu.config import TrainConfig
     mesh = mesh_lib.create_mesh()
     st = mesh_lib.replicate(state, mesh)
-    train_step, _ = loop_lib.make_jitted_steps(priors, loss_cfg, mesh=mesh,
-                                               donate=True)
+    train_step, _ = loop_lib.make_jitted_steps(
+        priors, loss_cfg, mesh=mesh, donate=True,
+        scoped_vmem_limit_kib=TrainConfig().scoped_vmem_limit_kib)
     sb = mesh_lib.shard_batch(dict(batch), mesh)
 
     def full(carry):

@@ -33,7 +33,7 @@ def _real_loader_bench(bs: int, workers: int, num_images: int,
                        backbone: str = "vgg16") -> dict:
     from objectdetection_ssd_tpu.config import (Config, DataConfig,
                                                 LossConfig, ModelConfig,
-                                                OptimConfig)
+                                                OptimConfig, TrainConfig)
     from objectdetection_ssd_tpu.data import synthetic, voc
     from objectdetection_ssd_tpu.data.pipeline import Loader, prefetch
     from objectdetection_ssd_tpu.models.ssd import build_model
@@ -64,8 +64,9 @@ def _real_loader_bench(bs: int, workers: int, num_images: int,
                                OptimConfig(use_lr_schedule=False))
     mesh = mesh_lib.create_mesh()
     state = mesh_lib.replicate(state, mesh)
-    train_step, _ = loop_lib.make_jitted_steps(priors, LossConfig(),
-                                               mesh=mesh, donate=True)
+    train_step, _ = loop_lib.make_jitted_steps(
+        priors, LossConfig(), mesh=mesh, donate=True,
+        scoped_vmem_limit_kib=TrainConfig().scoped_vmem_limit_kib)
 
     # Warm up compile on the first batch, then time full epochs through
     # prefetch (host batching overlapped with device steps).
@@ -101,7 +102,7 @@ def _real_loader_bench(bs: int, workers: int, num_images: int,
 
 def main() -> int:
     from objectdetection_ssd_tpu.config import (LossConfig, ModelConfig,
-                                                OptimConfig)
+                                                OptimConfig, TrainConfig)
     from objectdetection_ssd_tpu.models.ssd import build_model
     from objectdetection_ssd_tpu.ops import priors as priors_lib
     from objectdetection_ssd_tpu.parallel import mesh as mesh_lib
@@ -143,9 +144,9 @@ def main() -> int:
                                OptimConfig(use_lr_schedule=False))
     mesh = mesh_lib.create_mesh()
     state = mesh_lib.replicate(state, mesh)
-    train_step, _ = loop_lib.make_jitted_steps(priors, LossConfig(),
-                                               mesh=mesh, donate=True,
-                                               remat=args.remat)
+    train_step, _ = loop_lib.make_jitted_steps(
+        priors, LossConfig(), mesh=mesh, donate=True, remat=args.remat,
+        scoped_vmem_limit_kib=TrainConfig().scoped_vmem_limit_kib)
     rng = np.random.default_rng(0)
     m = 24
     batch = {

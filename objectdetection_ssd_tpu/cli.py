@@ -96,6 +96,9 @@ def build_config(args) -> config_lib.Config:
     if getattr(args, "hnm_topk", None) is not None:
         cfg = cfg.replace(loss=dataclasses.replace(
             cfg.loss, hnm_topk=args.hnm_topk))
+    if getattr(args, "scoped_vmem_kib", None) is not None:
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, scoped_vmem_limit_kib=args.scoped_vmem_kib or None))
     return cfg
 
 
@@ -355,6 +358,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                          help="hard-negative-mining partial top-k cap "
                               "(0 = always full sort; default 1024; exact "
                               "either way — see LossConfig.hnm_topk)")
+    p_train.add_argument("--scoped-vmem-kib", type=int, default=None,
+                         help="TPU per-fusion scoped-VMEM budget for the "
+                              "train step (PJRT compiler option; default "
+                              "65536 = measured best, 0 = compiler "
+                              "default; ignored on CPU)")
     p_train.add_argument("--remat", action="store_true",
                          help="gradient-checkpoint the VGG trunk at stage "
                               "boundaries (use for batch sizes >= 256 "

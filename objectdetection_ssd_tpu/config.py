@@ -224,6 +224,14 @@ class TrainConfig:
     # activation-HBM saving — turn on for bs>=256 (see
     # benchmarks/RESULTS.md round 3).
     remat: bool = False
+    # TPU compiler knob (PJRT compiler_options, reaches the TPU compiler
+    # even where XLA_FLAGS cannot — the CPU-only client XLA aborts on
+    # --xla_tpu_* flags): per-fusion scoped-VMEM budget in KiB.  64 MiB
+    # measured +1.5% train img/s at bs=128 and +2.9% at bs=256, flat
+    # across 32-96 MiB; the SAME option hurts the inference graph -4.3%,
+    # so it is applied to the TRAIN step only (RESULTS.md "scoped-VMEM
+    # compiler option").  None/0 = compiler default.  Ignored on CPU.
+    scoped_vmem_limit_kib: Optional[int] = 65536
 
 
 @dataclasses.dataclass(frozen=True)

@@ -114,10 +114,29 @@ def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray],
             "num_pos": loss.num_pos.astype(jnp.float32)}
 
 
+def train_compiler_options(scoped_vmem_limit_kib: Optional[int]
+                           ) -> Optional[dict]:
+    """PJRT compiler_options for the TRAIN step, or None.
+
+    Scoped-VMEM raising is a measured train-only win (+1.5% at bs=128,
+    +2.9% at bs=256) that HURTS the inference graph (-4.3%), so only the
+    train step applies it — see `TrainConfig.scoped_vmem_limit_kib` and
+    RESULTS.md "scoped-VMEM compiler option".  Returns None on CPU
+    backends (the option is TPU-specific and a CPU compile would reject
+    it).
+    """
+    if not scoped_vmem_limit_kib:
+        return None
+    if jax.devices()[0].platform == "cpu":
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": int(scoped_vmem_limit_kib)}
+
+
 def make_jitted_steps(priors: jnp.ndarray, loss_config: LossConfig,
                       mesh: Optional[Mesh] = None, donate: bool = True,
                       seed: int = 0, state_sharding=None,
-                      remat: bool = False):
+                      remat: bool = False,
+                      scoped_vmem_limit_kib: Optional[int] = None):
     """Compile train/eval steps, optionally with explicit mesh shardings.
 
     With a mesh: batch arrays are sharded over the ``data`` axis, state is
@@ -128,14 +147,19 @@ def make_jitted_steps(priors: jnp.ndarray, loss_config: LossConfig,
     from `parallel.mesh.state_fsdp_shardings(state, mesh)` to run FSDP
     (params/momentum sharded over an ``fsdp`` mesh axis; XLA inserts the
     param all-gathers and gradient reduce-scatters).  Default: replicated.
+
+    ``scoped_vmem_limit_kib``: see `train_compiler_options` (train step
+    only; no-op on CPU).
     """
     t_step = functools.partial(train_step, priors=priors,
                                loss_config=loss_config, seed=seed,
                                remat=remat)
     e_step = functools.partial(eval_step, priors=priors,
                                loss_config=loss_config)
+    copts = train_compiler_options(scoped_vmem_limit_kib)
     if mesh is None:
-        return (jax.jit(t_step, donate_argnums=(0,) if donate else ()),
+        return (jax.jit(t_step, donate_argnums=(0,) if donate else (),
+                        compiler_options=copts),
                 jax.jit(e_step))
 
     from objectdetection_ssd_tpu.parallel import mesh as mesh_lib
@@ -150,6 +174,7 @@ def make_jitted_steps(priors: jnp.ndarray, loss_config: LossConfig,
         in_shardings=(state_shard, data),
         out_shardings=(state_shard, metrics_repl),
         donate_argnums=(0,) if donate else (),
+        compiler_options=copts,
     )
     jit_eval = jax.jit(e_step, in_shardings=(state_shard, data),
                        out_shardings=repl)

@@ -105,7 +105,8 @@ class Trainer:
         self.train_step, self.eval_step = loop_lib.make_jitted_steps(
             self.priors, config.loss, mesh=self.mesh,
             donate=config.train.donate_state, seed=config.train.seed,
-            state_sharding=state_sharding, remat=config.train.remat)
+            state_sharding=state_sharding, remat=config.train.remat,
+            scoped_vmem_limit_kib=config.train.scoped_vmem_limit_kib)
         self.ckpt = CheckpointManager(
             config.train.checkpoint_dir,
             max_to_keep=config.train.max_checkpoints_to_keep)

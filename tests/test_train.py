@@ -124,6 +124,43 @@ def test_overfit_one_batch():
         float(first["loss"]), float(metrics["loss"]))
 
 
+def test_scoped_vmem_compiler_option_gating(monkeypatch):
+    """`TrainConfig.scoped_vmem_limit_kib` reaches jax.jit as a PJRT
+    compiler option on TPU backends only: CPU (this suite) must gate it to
+    None — a CPU compile would reject the TPU-specific key — and a non-CPU
+    platform emits exactly {"xla_tpu_scoped_vmem_limit_kib": N}.  0/None
+    disable it everywhere.  Measured train-only win, RESULTS.md
+    "scoped-VMEM compiler option"."""
+    # Suite runs on the forced-CPU mesh: always gated off.
+    assert loop_lib.train_compiler_options(65536) is None
+    assert loop_lib.train_compiler_options(None) is None
+    assert loop_lib.train_compiler_options(0) is None
+
+    class _FakeTpu:
+        platform = "tpu"
+
+    monkeypatch.setattr(loop_lib.jax, "devices", lambda: [_FakeTpu()])
+    assert loop_lib.train_compiler_options(65536) == {
+        "xla_tpu_scoped_vmem_limit_kib": 65536}
+    assert loop_lib.train_compiler_options(0) is None
+
+
+def test_make_jitted_steps_accepts_scoped_vmem_on_cpu():
+    """The plumbed kwarg is a no-op on CPU: the step still compiles and
+    runs (the gate returns None before jax.jit sees the TPU option)."""
+    model = TinySSD()
+    priors = _tiny_priors()
+    batch = _tiny_batch(bs=2)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), batch["images"][:1],
+        OptimConfig(lr=0.05, use_lr_schedule=False), steps_per_epoch=1)
+    step_fn, _ = loop_lib.make_jitted_steps(priors, LossConfig(), mesh=None,
+                                            donate=False,
+                                            scoped_vmem_limit_kib=65536)
+    _, metrics = step_fn(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_data_parallel_step_matches_single_device():
     """Same batch, same params: the 8-device data-parallel jitted step must
     produce the same loss and updated params as the single-device step."""
