@@ -15,6 +15,7 @@ TPU relay), and it matches steady-state serving where batches stream
 back-to-back.
 """
 
+import functools
 import json
 import sys
 import time
@@ -56,7 +57,13 @@ def main() -> int:
     images = jax.random.normal(rng, (batch_size, size, size, 3), dtype)
     params = jax.jit(model.init)(rng, images[:1])
 
-    @jax.jit
+    # Inference-graph scoped-VMEM budget (PJRT compiler option; measured
+    # +1.2% e2e at bs=256 — PostprocessConfig.scoped_vmem_limit_kib and
+    # RESULTS.md "scoped-VMEM compiler option").
+    from objectdetection_ssd_tpu.xla_options import scoped_vmem_options
+    copts = scoped_vmem_options(pp_cfg.scoped_vmem_limit_kib)
+
+    @functools.partial(jax.jit, compiler_options=copts)
     def step(params, x):
         # params is an explicit argument: AOT-lowering a closure over the
         # ~100 MB weight pytree bakes it into the StableHLO as literal

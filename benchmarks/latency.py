@@ -58,6 +58,12 @@ def main() -> int:
     rng = jax.random.PRNGKey(0)
     params = jax.jit(model.init)(rng, jnp.zeros((1, 300, 300, 3), dtype))
 
+    from objectdetection_ssd_tpu.xla_options import scoped_vmem_options
+    copts = scoped_vmem_options(cfg.scoped_vmem_limit_kib)
+
+    def jit(f):
+        return jax.jit(f, compiler_options=copts)
+
     results = {}
 
     def e2e_step(x):
@@ -67,7 +73,7 @@ def main() -> int:
         return x * (1.0 + s.astype(dtype) * 1e-6)
 
     x1 = jax.random.normal(rng, (1, 300, 300, 3), dtype)
-    p50, p90 = _timed(jax.jit(e2e_step), x1, iters)
+    p50, p90 = _timed(jit(e2e_step), x1, iters)
     results["e2e_bs1_p50_ms"] = round(p50, 2)
     results["e2e_bs1_p90_ms"] = round(p90, 2)
 
@@ -80,12 +86,12 @@ def main() -> int:
     lc0 = (jax.random.normal(rng, (1, 8732, 4), jnp.float32),
            jax.random.normal(rng, (1, 8732, 21), dtype))
     p50, p90 = _timed(
-        jax.jit(nms_step), lc0, iters)
+        jit(nms_step), lc0, iters)
     results["nms_bs1_p50_ms"] = round(p50, 2)
     results["nms_bs1_p90_ms"] = round(p90, 2)
 
     xb = jax.random.normal(rng, (big_bs, 300, 300, 3), dtype)
-    p50, p90 = _timed(jax.jit(e2e_step), xb, max(iters // 3, 2))
+    p50, p90 = _timed(jit(e2e_step), xb, max(iters // 3, 2))
     results[f"e2e_bs{big_bs}_p50_ms"] = round(p50, 2)
     results[f"e2e_bs{big_bs}_per_image_ms"] = round(p50 / big_bs, 3)
 

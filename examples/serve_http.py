@@ -60,7 +60,14 @@ class MinimalExportedDetector:
             raise ValueError(f"unsupported artifact format_version {version}")
         with open(os.path.join(artifact_dir, "program.jaxexport"), "rb") as f:
             exported = jax.export.deserialize(bytearray(f.read()))
-        self._call = jax.jit(exported.call)
+        # Format 1.2 artifacts carry the measured-best TPU scoped-VMEM
+        # budget for this graph (+1.2% e2e; RESULTS.md "scoped-VMEM
+        # compiler option"); pass it through on TPU backends only.
+        opts = None
+        kib = self.meta.get("scoped_vmem_limit_kib")
+        if kib and jax.devices()[0].platform != "cpu":
+            opts = {"xla_tpu_scoped_vmem_limit_kib": int(kib)}
+        self._call = jax.jit(exported.call, compiler_options=opts)
 
     def __call__(self, images: np.ndarray):
         """(batch_size, S, S, 3) f32 -> (boxes, scores, classes, valid)."""

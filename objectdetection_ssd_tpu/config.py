@@ -138,6 +138,16 @@ class PostprocessConfig:
     # anchors.  512 -> 256 measured +2% e2e at bs=256 with identical
     # survivor sets on the trained-model score distributions in the tests.
     anchor_prefilter: int = 256
+    # TPU compiler knob for the INFERENCE graph (PJRT compiler_options,
+    # see xla_options.py): per-fusion scoped-VMEM budget in KiB.  24 MiB
+    # measured +1.2% e2e img/s at bs=256 (2222 -> 2248, replicated across
+    # two sessions); 64 MiB — the TRAIN optimum — costs inference 4.2%,
+    # which is why this is a separate field from
+    # TrainConfig.scoped_vmem_limit_kib (sweeps in RESULTS.md
+    # "scoped-VMEM compiler option").  Applied by Detector,
+    # ExportedDetector (via an additive meta.json hint), bench.py, and
+    # latency.py.  None/0 = compiler default.  Ignored on CPU.
+    scoped_vmem_limit_kib: Optional[int] = 24576
     # Unroll the greedy-suppression recurrence at trace time (no per-step XLA
     # while-loop overhead); the fori_loop variant is for very large K.
     # (A hand-written Pallas suppression kernel was built and benchmarked

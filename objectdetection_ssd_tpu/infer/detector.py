@@ -83,15 +83,18 @@ class Detector:
             loc, conf = self.model.apply(variables, images, train=False)
             return postprocess(loc, conf, self.priors, self.pp_config)
 
+        from objectdetection_ssd_tpu.xla_options import scoped_vmem_options
+        copts = scoped_vmem_options(self.pp_config.scoped_vmem_limit_kib)
         if mesh is None:
-            self._infer = jax.jit(_infer)
+            self._infer = jax.jit(_infer, compiler_options=copts)
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from objectdetection_ssd_tpu.parallel import mesh as mesh_lib
             repl = NamedSharding(mesh, P())
             data = mesh_lib.batch_sharding(mesh)
             self._infer = jax.jit(
-                _infer, in_shardings=(repl, repl, data), out_shardings=data)
+                _infer, in_shardings=(repl, repl, data), out_shardings=data,
+                compiler_options=copts)
 
     def detect_batch(self, images: jnp.ndarray) -> Detections:
         """(B, S, S, 3) preprocessed images -> Detections (normalized boxes)."""

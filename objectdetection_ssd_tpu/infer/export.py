@@ -38,7 +38,10 @@ _META = "meta.json"
 # versioned/forward-compatible by jax.export).
 # 1.1: additive ``input_dtype`` field ("uint8" programs take raw 0-255
 # pixels and normalize on device; absent/"float32" = host-normalized).
-FORMAT_VERSION = "1.1"
+# 1.2: additive ``scoped_vmem_limit_kib`` hint — the measured-best TPU
+# scoped-VMEM budget for this inference graph; loaders pass it as a PJRT
+# compiler option on TPU backends (absent/0 = compiler default).
+FORMAT_VERSION = "1.2"
 
 
 def export_detector(config: Config, params: Any, out_dir: str,
@@ -101,6 +104,7 @@ def export_detector(config: Config, params: Any, out_dir: str,
             "classes": list(VOC_CLASSES),
             "backbone": config.model.backbone,
             "platforms": platforms,
+            "scoped_vmem_limit_kib": pp_cfg.scoped_vmem_limit_kib or 0,
         }, f, indent=2)
     return out_dir
 
@@ -114,7 +118,11 @@ class ExportedDetector:
         with open(os.path.join(artifact_dir, _META)) as f:
             self.meta = json.load(f)
         check_format_version(self.meta)
-        self._call = jax.jit(self.exported.call)
+        from objectdetection_ssd_tpu.xla_options import scoped_vmem_options
+        self._call = jax.jit(
+            self.exported.call,
+            compiler_options=scoped_vmem_options(
+                self.meta.get("scoped_vmem_limit_kib")))
 
     def __call__(self, images: np.ndarray) -> Detections:
         """(B, S, S, 3) images -> Detections.

@@ -118,18 +118,14 @@ def train_compiler_options(scoped_vmem_limit_kib: Optional[int]
                            ) -> Optional[dict]:
     """PJRT compiler_options for the TRAIN step, or None.
 
-    Scoped-VMEM raising is a measured train-only win (+1.5% at bs=128,
-    +2.9% at bs=256) that HURTS the inference graph (-4.3%), so only the
-    train step applies it — see `TrainConfig.scoped_vmem_limit_kib` and
-    RESULTS.md "scoped-VMEM compiler option".  Returns None on CPU
-    backends (the option is TPU-specific and a CPU compile would reject
-    it).
+    64 MiB is a measured train win (+1.5% at bs=128, +2.9% at bs=256)
+    that HURTS the inference graph (-4.2%; inference has its own 24 MiB
+    default, `PostprocessConfig.scoped_vmem_limit_kib`) — see
+    `TrainConfig.scoped_vmem_limit_kib` and RESULTS.md "scoped-VMEM
+    compiler option".  Returns None on CPU backends.
     """
-    if not scoped_vmem_limit_kib:
-        return None
-    if jax.devices()[0].platform == "cpu":
-        return None
-    return {"xla_tpu_scoped_vmem_limit_kib": int(scoped_vmem_limit_kib)}
+    from objectdetection_ssd_tpu.xla_options import scoped_vmem_options
+    return scoped_vmem_options(scoped_vmem_limit_kib)
 
 
 def make_jitted_steps(priors: jnp.ndarray, loss_config: LossConfig,

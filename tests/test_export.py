@@ -180,6 +180,37 @@ def test_export_uint8_artifact_matches_live(tmp_path, small_cfg, params):
                                atol=1e-6)
 
 
+def test_artifact_carries_scoped_vmem_hint(tmp_path, small_cfg, params):
+    """Format-1.2 artifacts record the measured-best inference scoped-VMEM
+    budget in meta.json; loaders gate it to a no-op on CPU (this suite) —
+    leaking the TPU-only compiler option into a CPU compile would fail the
+    load/compile below.  RESULTS.md "scoped-VMEM compiler option"."""
+    import json
+    import os
+
+    out = export_detector(small_cfg, params, str(tmp_path / "artifact"),
+                          batch_size=1)
+    with open(os.path.join(out, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["format_version"] == "1.2"
+    assert (meta["scoped_vmem_limit_kib"]
+            == small_cfg.postprocess.scoped_vmem_limit_kib)
+
+    det = ExportedDetector(out)          # CPU gate: compiles + runs
+    if meta.get("input_dtype", "float32") == "uint8":
+        img = np.zeros((1, 300, 300, 3), np.uint8)
+    else:
+        img = np.zeros((1, 300, 300, 3), np.float32)
+    dets = det(img)
+    assert np.asarray(dets.valid).shape[0] == 1
+
+    # 0 in the hint (or an absent key, format <= 1.1) means no option.
+    from objectdetection_ssd_tpu.xla_options import scoped_vmem_options
+    assert scoped_vmem_options(0) is None
+    assert scoped_vmem_options(None) is None
+    assert scoped_vmem_options(24576) is None    # CPU backend here
+
+
 def test_micro_batcher_coalesces_and_matches(tmp_path, small_cfg, params):
     """Dynamic batching (examples/serve_http.py MicroBatcher): concurrent
     requests coalesce into shared device calls and each caller gets exactly
