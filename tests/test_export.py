@@ -266,6 +266,43 @@ def test_micro_batcher_coalesces_and_matches(tmp_path, small_cfg, params):
         np.testing.assert_array_equal(got_c, want_c)
 
 
+def test_micro_batcher_fans_out_failures():
+    """A failing device call must raise in EVERY waiting caller (not hang
+    them): both the dispatch-side path (det raising synchronously) and the
+    completion-side path surface the exception through infer_one."""
+    import sys
+    import threading
+
+    sys.path.insert(0, "examples")
+    try:
+        import serve_http
+    finally:
+        sys.path.remove("examples")
+
+    class _BoomDetector:
+        meta = {"batch_size": 4}
+
+        def __call__(self, images):
+            raise RuntimeError("boom")
+
+    batcher = serve_http.MicroBatcher(_BoomDetector(), max_wait_ms=50.0)
+    errs = [None, None]
+
+    def call(i):
+        try:
+            batcher.infer_one(np.zeros((8, 8, 3), np.float32))
+        except RuntimeError as e:
+            errs[i] = str(e)
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+        assert not t.is_alive(), "caller hung on a failed batch"
+    assert errs == ["boom", "boom"]
+
+
 def test_http_serving_dynamic_batching(tmp_path, small_cfg, params):
     """The HTTP example with a batch>1 artifact + MicroBatcher answers
     concurrent clients correctly through a real socket."""
