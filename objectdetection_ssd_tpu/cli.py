@@ -251,11 +251,17 @@ def cmd_eval(args) -> int:
     # 0.6464, train 0.7738); --split train reproduces the latter protocol.
     records = train_recs if args.split == "train" else val_recs
     params, batch_stats = _restore_params(cfg, args.allow_random_init)
-    aps, mean_ap = evaluate_records(cfg, params, records,
-                                    batch_stats=batch_stats)
+    out = evaluate_records(cfg, params, records, batch_stats=batch_stats,
+                           iou_sweep=args.iou_sweep)
+    aps, mean_ap = out[0], out[1]
     for name, ap in aps.items():
         print(f"{name:>12s}  AP = {ap:.4f}")
     print(f"{'mAP':>12s} = {mean_ap:.4f}")
+    if args.iou_sweep:
+        per_thr, sweep_mean = out[2], out[3]
+        for thr, m in per_thr.items():
+            print(f"{'mAP@' + format(thr, '.2f'):>12s} = {m:.4f}")
+        print(f"{'mAP@[.5:.95]':>12s} = {sweep_mean:.4f}")
     return 0
 
 
@@ -400,6 +406,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_eval.add_argument("--split", choices=["val", "train"], default="val",
                         help="which split to score (the reference reports "
                              "both, README.md:134-190)")
+    p_eval.add_argument("--iou-sweep", action="store_true",
+                        help="additionally report mAP over the "
+                             "0.50:0.05:0.95 IoU ladder and its mean "
+                             "(COCO-style strictness summary under the VOC "
+                             "AP protocol; no model re-runs)")
     p_eval.add_argument("--allow-random-init", action="store_true",
                         help="proceed with random weights when no "
                              "checkpoint is found (smoke tests)")

@@ -42,8 +42,8 @@ def evaluate_records(config: Config, params: Any, records: List[ImageRecord],
                      batch_stats: Any = None,
                      batch_size: Optional[int] = None,
                      keep_difficult: Optional[bool] = None,
-                     detector: Optional[Detector] = None
-                     ) -> Tuple[Dict[str, float], float]:
+                     detector: Optional[Detector] = None,
+                     iou_sweep: bool = False):
     """Returns (per-class AP, mAP) over ``records``.
 
     GT handling matches the reference protocol: difficult objects are
@@ -53,6 +53,11 @@ def evaluate_records(config: Config, params: Any, records: List[ImageRecord],
     Pass a ``detector`` to reuse its compiled inference program across
     repeated evaluations (params/batch_stats are updated in place — they are
     jit arguments, so no recompilation happens).
+
+    ``iou_sweep=True`` additionally scores the collected detections over
+    the 0.50:0.05:0.95 IoU ladder (no model re-runs;
+    `voc_map.voc_map_sweep`) and returns
+    ``(per_class_ap, mAP, {threshold: mAP}, mAP_mean_over_thresholds)``.
     """
     if detector is None:
         detector = Detector(config, params, batch_stats,
@@ -111,4 +116,11 @@ def evaluate_records(config: Config, params: Any, records: List[ImageRecord],
                 det_classes.append(dets.classes[i][valid])
                 det_scores.append(dets.scores[i][valid])
 
-    return voc_map(det_boxes, det_classes, det_scores, gt_boxes, gt_classes)
+    aps, mean_ap = voc_map(det_boxes, det_classes, det_scores,
+                           gt_boxes, gt_classes)
+    if not iou_sweep:
+        return aps, mean_ap
+    from objectdetection_ssd_tpu.eval.voc_map import voc_map_sweep
+    per_thr, sweep_mean = voc_map_sweep(det_boxes, det_classes, det_scores,
+                                        gt_boxes, gt_classes)
+    return aps, mean_ap, per_thr, sweep_mean

@@ -54,6 +54,22 @@ def test_resnet_backbone_sets_image_size():
     assert cfg.model.image_size == 224
 
 
+def test_eval_iou_sweep_flag():
+    assert _parse(["eval", "--iou-sweep"]).iou_sweep is True
+    assert _parse(["eval"]).iou_sweep is False
+
+
+def test_scoped_vmem_flag():
+    cfg = cli.build_config(_parse(["train", "--scoped-vmem-kib", "32768"]))
+    assert cfg.train.scoped_vmem_limit_kib == 32768
+    # 0 = compiler default (stored as None)
+    cfg = cli.build_config(_parse(["train", "--scoped-vmem-kib", "0"]))
+    assert cfg.train.scoped_vmem_limit_kib is None
+    # flag absent: measured-best default stands
+    cfg = cli.build_config(_parse(["train"]))
+    assert cfg.train.scoped_vmem_limit_kib == 65536
+
+
 def test_eval_split_flag():
     args = _parse(["eval", "--split", "train"])
     assert args.split == "train"

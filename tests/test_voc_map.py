@@ -107,3 +107,52 @@ def test_empty_detections():
     aps, mean_ap = _run([_img(dets=[], gts=[(BOX, 0)])])
     assert aps[VOC_CLASSES[0]] == 0.0
     assert mean_ap == 0.0
+
+
+def test_voc_map_sweep_hand_case():
+    """A detection with IoU exactly 0.6 against its GT is a TP at
+    thresholds < 0.6 (strict >) and an FP at 0.6+: the 0.50/0.55 rungs
+    score mAP 1/20 (one perfect class of 20), the other eight rungs 0, so
+    mAP@[.5:.95] = 2/10 * 1/20."""
+    from objectdetection_ssd_tpu.eval.voc_map import voc_map_sweep
+    gt = [0.0, 0.0, 100.0, 100.0]
+    det = [0.0, 0.0, 100.0, 60.0]              # IoU = 60/100 = 0.6
+    db, dc, ds, gb, gc = _img(dets=[(det, 0, 0.9)], gts=[(gt, 0)])
+    per_thr, mean = voc_map_sweep([db], [dc], [ds], [gb], [gc])
+    assert set(per_thr) == {0.5, 0.55, 0.6, 0.65, 0.7,
+                            0.75, 0.8, 0.85, 0.9, 0.95}
+    np.testing.assert_allclose(per_thr[0.5], 1 / 20)
+    np.testing.assert_allclose(per_thr[0.55], 1 / 20)
+    for thr in (0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95):
+        assert per_thr[thr] == 0.0
+    np.testing.assert_allclose(mean, 2 / 10 * 1 / 20)
+
+
+def test_voc_map_sweep_matches_single_threshold():
+    """sweep[thr] must equal a direct voc_map call at that threshold on a
+    randomized multi-image, multi-class workload."""
+    from objectdetection_ssd_tpu.eval.voc_map import voc_map_sweep
+    rng = np.random.default_rng(7)
+    images = []
+    for _ in range(6):
+        dets, gts = [], []
+        for _ in range(rng.integers(1, 6)):
+            lo = rng.uniform(0, 60, 2)
+            wh = rng.uniform(10, 40, 2)
+            gts.append(([lo[0], lo[1], lo[0] + wh[0], lo[1] + wh[1]],
+                        int(rng.integers(0, 5))))
+        for (box, cls) in gts:
+            jit = rng.uniform(-8, 8, 4)
+            dets.append(([box[0] + jit[0], box[1] + jit[1],
+                          box[2] + jit[2], box[3] + jit[3]],
+                         cls, float(rng.uniform(0.2, 1.0))))
+        images.append(_img(dets=dets, gts=gts))
+    cols = list(zip(*images))
+    per_thr, mean = voc_map_sweep(cols[0], cols[1], cols[2],
+                                  cols[3], cols[4])
+    for thr in (0.5, 0.75, 0.95):
+        _, direct = voc_map(cols[0], cols[1], cols[2], cols[3], cols[4],
+                            iou_threshold=thr)
+        np.testing.assert_allclose(per_thr[thr], direct)
+    np.testing.assert_allclose(
+        mean, np.mean(list(per_thr.values())))
