@@ -252,7 +252,8 @@ def cmd_eval(args) -> int:
     records = train_recs if args.split == "train" else val_recs
     params, batch_stats = _restore_params(cfg, args.allow_random_init)
     out = evaluate_records(cfg, params, records, batch_stats=batch_stats,
-                           iou_sweep=args.iou_sweep)
+                           iou_sweep=args.iou_sweep,
+                           pr_curves_path=args.pr_curves)
     aps, mean_ap = out[0], out[1]
     for name, ap in aps.items():
         print(f"{name:>12s}  AP = {ap:.4f}")
@@ -262,6 +263,8 @@ def cmd_eval(args) -> int:
         for thr, m in per_thr.items():
             print(f"{'mAP@' + format(thr, '.2f'):>12s} = {m:.4f}")
         print(f"{'mAP@[.5:.95]':>12s} = {sweep_mean:.4f}")
+    if args.pr_curves:
+        print(f"PR curves -> {args.pr_curves}")
     return 0
 
 
@@ -406,6 +409,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_eval.add_argument("--split", choices=["val", "train"], default="val",
                         help="which split to score (the reference reports "
                              "both, README.md:134-190)")
+    p_eval.add_argument("--pr-curves", default=None, metavar="OUT_JSON",
+                        help="write per-class cumulative precision/recall "
+                             "curves (score-descending, IoU 0.5) to this "
+                             "JSON path for operating-threshold selection")
     p_eval.add_argument("--iou-sweep", action="store_true",
                         help="additionally report mAP over the "
                              "0.50:0.05:0.95 IoU ladder and its mean "

@@ -43,7 +43,8 @@ def evaluate_records(config: Config, params: Any, records: List[ImageRecord],
                      batch_size: Optional[int] = None,
                      keep_difficult: Optional[bool] = None,
                      detector: Optional[Detector] = None,
-                     iou_sweep: bool = False):
+                     iou_sweep: bool = False,
+                     pr_curves_path: Optional[str] = None):
     """Returns (per-class AP, mAP) over ``records``.
 
     GT handling matches the reference protocol: difficult objects are
@@ -58,6 +59,10 @@ def evaluate_records(config: Config, params: Any, records: List[ImageRecord],
     the 0.50:0.05:0.95 IoU ladder (no model re-runs;
     `voc_map.voc_map_sweep`) and returns
     ``(per_class_ap, mAP, {threshold: mAP}, mAP_mean_over_thresholds)``.
+
+    ``pr_curves_path``: write the per-class cumulative precision/recall
+    curves (score-descending, IoU 0.5) as JSON — operating-threshold
+    selection and per-class failure analysis without re-running the model.
     """
     if detector is None:
         detector = Detector(config, params, batch_stats,
@@ -116,8 +121,24 @@ def evaluate_records(config: Config, params: Any, records: List[ImageRecord],
                 det_classes.append(dets.classes[i][valid])
                 det_scores.append(dets.scores[i][valid])
 
-    aps, mean_ap = voc_map(det_boxes, det_classes, det_scores,
-                           gt_boxes, gt_classes)
+    if pr_curves_path:
+        aps, mean_ap, curves = voc_map(det_boxes, det_classes, det_scores,
+                                       gt_boxes, gt_classes,
+                                       return_curves=True)
+        import json
+        with open(pr_curves_path, "w") as f:
+            json.dump({
+                "iou_threshold": 0.5,
+                "map": mean_ap,
+                "classes": {
+                    name: {"ap": aps[name],
+                           **{k: np.asarray(v).round(6).tolist()
+                              for k, v in c.items()}}
+                    for name, c in curves.items()},
+            }, f)
+    else:
+        aps, mean_ap = voc_map(det_boxes, det_classes, det_scores,
+                               gt_boxes, gt_classes)
     if not iou_sweep:
         return aps, mean_ap
     from objectdetection_ssd_tpu.eval.voc_map import voc_map_sweep

@@ -58,8 +58,8 @@ def voc_map(det_boxes: Sequence[np.ndarray],
             gt_boxes: Sequence[np.ndarray],
             gt_classes: Sequence[np.ndarray],
             difficulties: Optional[Sequence[np.ndarray]] = None,
-            iou_threshold: float = 0.5
-            ) -> Tuple[Dict[str, float], float]:
+            iou_threshold: float = 0.5,
+            return_curves: bool = False):
     """Compute per-class AP and mAP over per-image detection/GT lists.
 
     Args:
@@ -72,10 +72,15 @@ def voc_map(det_boxes: Sequence[np.ndarray],
         standard VOC.  The reference instead drops difficult GT upstream —
         pass pre-filtered GT and leave this None for reference parity.
 
-    Returns: ({class_name: AP}, mAP).
+    Returns: ({class_name: AP}, mAP); with ``return_curves=True``,
+    ({class_name: AP}, mAP, {class_name: {"scores", "precision",
+    "recall"}}) — the score-descending cumulative PR arrays each class's
+    AP integrates (production debugging: pick an operating threshold, see
+    which classes saturate recall early, etc.).
     """
     n_images = len(det_boxes)
     aps: Dict[str, float] = {}
+    curves: Dict[str, Dict[str, np.ndarray]] = {}
 
     # Normalize inputs once (not per class).
     det_classes = [np.asarray(c).reshape(-1) for c in det_classes]
@@ -108,6 +113,10 @@ def voc_map(det_boxes: Sequence[np.ndarray],
              for i, s in enumerate(sel_per_image)] or [np.zeros(0, np.int64)])
         if len(imgs) == 0:
             aps[VOC_CLASSES[cls]] = 0.0
+            curves[VOC_CLASSES[cls]] = {
+                "scores": np.zeros(0, np.float32),
+                "precision": np.zeros(0, np.float64),
+                "recall": np.zeros(0, np.float64)}
             continue
         boxes = np.concatenate(
             [det_boxes[i][s] for i, s in enumerate(sel_per_image)])
@@ -174,8 +183,13 @@ def voc_map(det_boxes: Sequence[np.ndarray],
         cum_precision = cum_tp / np.maximum(cum_tp + cum_fp, 1e-12)
         cum_recall = cum_tp / max(n_positive, 1)
         aps[VOC_CLASSES[cls]] = eleven_point_ap(cum_precision, cum_recall)
+        curves[VOC_CLASSES[cls]] = {"scores": scores[order],
+                                    "precision": cum_precision,
+                                    "recall": cum_recall}
 
     mean_ap = float(np.mean(list(aps.values())))
+    if return_curves:
+        return aps, mean_ap, curves
     return aps, mean_ap
 
 

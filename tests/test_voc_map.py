@@ -109,6 +109,34 @@ def test_empty_detections():
     assert mean_ap == 0.0
 
 
+def test_return_curves_golden():
+    """return_curves exposes the cumulative PR arrays the AP integrates:
+    1 TP det against 2 GT -> precision [1.0], recall [0.5]; classes with
+    no detections get empty arrays."""
+    db, dc, ds, gb, gc = _img(dets=[(BOX, 0, 0.9)],
+                              gts=[(BOX, 0), (BOX_FAR, 0)])
+    aps, mean_ap, curves = voc_map([db], [dc], [ds], [gb], [gc],
+                                   return_curves=True)
+    c0 = curves[VOC_CLASSES[0]]
+    np.testing.assert_allclose(c0["scores"], [0.9])
+    np.testing.assert_allclose(c0["precision"], [1.0])
+    np.testing.assert_allclose(c0["recall"], [0.5])
+    assert len(curves) == len(VOC_CLASSES)
+    assert curves[VOC_CLASSES[1]]["scores"].size == 0
+    # AP/mAP identical to the non-curves call
+    aps2, mean2 = voc_map([db], [dc], [ds], [gb], [gc])
+    assert aps == aps2 and mean_ap == mean2
+    # Descending-score ordering with a second, lower-score FP det.
+    db, dc, ds, gb, gc = _img(dets=[(BOX_FAR, 0, 0.4), (BOX, 0, 0.9)],
+                              gts=[(BOX, 0)])
+    _, _, curves = voc_map([db], [dc], [ds], [gb], [gc],
+                           return_curves=True)
+    c0 = curves[VOC_CLASSES[0]]
+    np.testing.assert_allclose(c0["scores"], [0.9, 0.4])
+    np.testing.assert_allclose(c0["precision"], [1.0, 0.5])
+    np.testing.assert_allclose(c0["recall"], [1.0, 1.0])
+
+
 def test_voc_map_sweep_hand_case():
     """A detection with IoU exactly 0.6 against its GT is a TP at
     thresholds < 0.6 (strict >) and an FP at 0.6+: the 0.50/0.55 rungs
