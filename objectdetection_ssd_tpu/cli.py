@@ -44,6 +44,13 @@ def _common_flags(p: argparse.ArgumentParser):
     p.add_argument("--synthetic", action="store_true",
                    help="generate a synthetic VOC fixture at --voc-root "
                         "(for smoke tests without the dataset)")
+    # Common (not train-only): eval/detect/export must rebuild the SAME
+    # TrainState structure to restore an EMA-enabled checkpoint.
+    p.add_argument("--ema-decay", type=float, default=None,
+                   help="per-step EMA of the weights, e <- d*e + (1-d)*p "
+                        "(0 = off, reference parity; typical 0.999-0.9999; "
+                        "pass the same value to eval/export and add "
+                        "--use-ema to read the averaged weights)")
 
 
 def build_config(args) -> config_lib.Config:
@@ -99,6 +106,9 @@ def build_config(args) -> config_lib.Config:
     if getattr(args, "scoped_vmem_kib", None) is not None:
         cfg = cfg.replace(train=dataclasses.replace(
             cfg.train, scoped_vmem_limit_kib=args.scoped_vmem_kib or None))
+    if getattr(args, "ema_decay", None) is not None:
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, ema_decay=args.ema_decay))
     return cfg
 
 
@@ -250,7 +260,9 @@ def cmd_eval(args) -> int:
     # The reference reports mAP on both splits (README.md:134-190: val
     # 0.6464, train 0.7738); --split train reproduces the latter protocol.
     records = train_recs if args.split == "train" else val_recs
-    params, batch_stats = _restore_params(cfg, args.allow_random_init)
+    params, batch_stats = _restore_params(cfg, args.allow_random_init,
+                                          use_ema=getattr(args, "use_ema",
+                                                          False))
     out = evaluate_records(cfg, params, records, batch_stats=batch_stats,
                            iou_sweep=args.iou_sweep,
                            pr_curves_path=args.pr_curves)
@@ -271,7 +283,9 @@ def cmd_eval(args) -> int:
 def cmd_detect(args) -> int:
     from objectdetection_ssd_tpu.infer.detector import Detector
     cfg = build_config(args)
-    params, batch_stats = _restore_params(cfg, args.allow_random_init)
+    params, batch_stats = _restore_params(cfg, args.allow_random_init,
+                                          use_ema=getattr(args, "use_ema",
+                                                          False))
     det = Detector(cfg, params, batch_stats)
     results = det.detect_images(args.images)
     for path, res in zip(args.images, results):
@@ -292,7 +306,9 @@ def cmd_detect(args) -> int:
 def cmd_export(args) -> int:
     from objectdetection_ssd_tpu.infer.export import export_detector
     cfg = build_config(args)
-    params, batch_stats = _restore_params(cfg, args.allow_random_init)
+    params, batch_stats = _restore_params(cfg, args.allow_random_init,
+                                          use_ema=getattr(args, "use_ema",
+                                                          False))
     out = export_detector(cfg, params, args.out_dir,
                           batch_size=args.serve_batch_size,
                           batch_stats=batch_stats)
@@ -300,12 +316,18 @@ def cmd_export(args) -> int:
     return 0
 
 
-def _restore_params(cfg: config_lib.Config, allow_random_init: bool = False):
+def _restore_params(cfg: config_lib.Config, allow_random_init: bool = False,
+                    use_ema: bool = False):
     """Restore params (+ batch_stats) from the latest checkpoint.
 
     Errors out when no checkpoint exists unless ``--allow-random-init`` was
     passed — a typo'd --checkpoint-dir must not silently eval/detect with
-    random weights."""
+    random weights.
+
+    ``use_ema``: return the EMA-averaged weights instead of the raw ones.
+    Requires the checkpoint to have been trained with --ema-decay > 0 (and
+    the same --ema-decay passed here, so the restore target's pytree
+    structure matches the checkpoint's)."""
     import jax
     import jax.numpy as jnp
     from objectdetection_ssd_tpu.models.ssd import build_model
@@ -314,7 +336,8 @@ def _restore_params(cfg: config_lib.Config, allow_random_init: bool = False):
     model = build_model(cfg.model)
     sample = jnp.zeros((1, cfg.model.image_size, cfg.model.image_size, 3))
     state = create_train_state(model, jax.random.PRNGKey(cfg.train.seed),
-                               sample, cfg.optim)
+                               sample, cfg.optim,
+                               ema=cfg.train.ema_decay > 0)
     try:
         mgr = CheckpointManager(cfg.train.checkpoint_dir)
         state, _, epoch = mgr.restore(state)
@@ -326,6 +349,12 @@ def _restore_params(cfg: config_lib.Config, allow_random_init: bool = False):
                 f"{cfg.train.checkpoint_dir!r} (use --allow-random-init to "
                 "run with fresh random weights)")
         print("no checkpoint found; using random init", file=sys.stderr)
+    if use_ema:
+        if state.ema_params is None:
+            raise SystemExit(
+                "error: --use-ema needs an EMA-enabled checkpoint — train "
+                "with --ema-decay > 0 and pass the same --ema-decay here")
+        return state.ema_params, state.batch_stats
     return state.params, state.batch_stats
 
 
@@ -421,6 +450,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_eval.add_argument("--allow-random-init", action="store_true",
                         help="proceed with random weights when no "
                              "checkpoint is found (smoke tests)")
+    p_eval.add_argument("--use-ema", action="store_true",
+                        help="read the EMA-averaged weights (requires an EMA-enabled checkpoint and the matching --ema-decay)")
     p_eval.set_defaults(fn=cmd_eval)
 
     p_det = sub.add_parser("detect", help="detect objects in images")
@@ -430,6 +461,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_det.add_argument("--allow-random-init", action="store_true",
                        help="proceed with random weights when no "
                             "checkpoint is found (smoke tests)")
+    p_det.add_argument("--use-ema", action="store_true",
+                        help="read the EMA-averaged weights (requires an EMA-enabled checkpoint and the matching --ema-decay)")
     p_det.set_defaults(fn=cmd_detect)
 
     p_exp = sub.add_parser(
@@ -441,6 +474,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_exp.add_argument("--allow-random-init", action="store_true",
                        help="export with random weights when no checkpoint "
                             "is found (smoke tests)")
+    p_exp.add_argument("--use-ema", action="store_true",
+                        help="read the EMA-averaged weights (requires an EMA-enabled checkpoint and the matching --ema-decay)")
     p_exp.set_defaults(fn=cmd_export)
 
     args = parser.parse_args(argv)

@@ -234,6 +234,12 @@ class TrainConfig:
     # activation-HBM saving — turn on for bs>=256 (see
     # benchmarks/RESULTS.md round 3).
     remat: bool = False
+    # Exponential-moving-average weights: e <- d*e + (1-d)*p per step,
+    # maintained inside the jitted train step.  0.0 = off (the reference
+    # has no EMA — parity default); typical values 0.999-0.9999.  Eval /
+    # detect / export read the averaged weights with --use-ema (pass the
+    # SAME --ema-decay so the checkpoint target structure matches).
+    ema_decay: float = 0.0
     # TPU compiler knob (PJRT compiler_options, reaches the TPU compiler
     # even where XLA_FLAGS cannot — the CPU-only client XLA aborts on
     # --xla_tpu_* flags): per-fusion scoped-VMEM budget in KiB.  64 MiB

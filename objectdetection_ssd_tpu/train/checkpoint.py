@@ -74,4 +74,6 @@ def _savable(state: TrainState) -> Dict[str, Any]:
            "opt_state": state.opt_state}
     if state.batch_stats is not None:
         out["batch_stats"] = state.batch_stats
+    if state.ema_params is not None:
+        out["ema_params"] = state.ema_params
     return out

@@ -53,7 +53,8 @@ def _forward(state: TrainState, params, batch, priors, rng, train: bool):
 def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                priors: jnp.ndarray,
                loss_config: LossConfig = LossConfig(),
-               seed: int = 0, remat: bool = False
+               seed: int = 0, remat: bool = False,
+               ema_decay: float = 0.0
                ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One SGD step; returns (new_state, metrics).
 
@@ -93,6 +94,13 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
 
     grads, (loss, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
     new_state = state.apply_gradients(grads, batch_stats=new_stats)
+    if ema_decay and state.ema_params is not None:
+        # Standard EMA: e <- d*e + (1-d)*p, fused into the same program
+        # (one extra multiply-add per param — negligible next to the
+        # backward sweep).
+        new_state = new_state.replace(ema_params=jax.tree_util.tree_map(
+            lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+            state.ema_params, new_state.params))
     metrics = {"loss": loss.total, "cls_loss": loss.cls,
                "loc_loss": loss.loc,
                "num_pos": loss.num_pos.astype(jnp.float32)}
@@ -132,7 +140,8 @@ def make_jitted_steps(priors: jnp.ndarray, loss_config: LossConfig,
                       mesh: Optional[Mesh] = None, donate: bool = True,
                       seed: int = 0, state_sharding=None,
                       remat: bool = False,
-                      scoped_vmem_limit_kib: Optional[int] = None):
+                      scoped_vmem_limit_kib: Optional[int] = None,
+                      ema_decay: float = 0.0):
     """Compile train/eval steps, optionally with explicit mesh shardings.
 
     With a mesh: batch arrays are sharded over the ``data`` axis, state is
@@ -149,7 +158,7 @@ def make_jitted_steps(priors: jnp.ndarray, loss_config: LossConfig,
     """
     t_step = functools.partial(train_step, priors=priors,
                                loss_config=loss_config, seed=seed,
-                               remat=remat)
+                               remat=remat, ema_decay=ema_decay)
     e_step = functools.partial(eval_step, priors=priors,
                                loss_config=loss_config)
     copts = train_compiler_options(scoped_vmem_limit_kib)

@@ -34,6 +34,13 @@ class TrainState(struct.PyTreeNode):
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     apply_fn: Callable = struct.field(pytree_node=False)
     batch_stats: Any = None
+    # Exponential moving average of params (None = EMA off).  Updated by
+    # the train step when `TrainConfig.ema_decay` > 0; eval/export can
+    # read the averaged weights via `--use-ema` — the standard
+    # production-detection trick the reference lacks (it evaluates the
+    # last raw checkpoint).  Rides the state pytree, so checkpointing,
+    # replication, and FSDP sharding all apply to it unchanged.
+    ema_params: Any = None
 
     def apply_gradients(self, grads: Any, **kw) -> "TrainState":
         updates, new_opt_state = self.tx.update(grads, self.opt_state,
@@ -154,14 +161,18 @@ def make_optimizer(config: OptimConfig, steps_per_epoch: int = 1,
 def create_train_state(model, rng: jax.Array, sample_input: jnp.ndarray,
                        optim_config: OptimConfig,
                        steps_per_epoch: int = 1,
-                       frozen_prefixes: Optional[Tuple[str, ...]] = None
-                       ) -> TrainState:
+                       frozen_prefixes: Optional[Tuple[str, ...]] = None,
+                       ema: bool = False) -> TrainState:
     """Initialize variables and build the optimizer.
 
     ``frozen_prefixes`` defaults to ("trunk",) when the model declares
     ``freeze_backbone`` (the ResNet-34 variant, reference `Model.py:81-86`),
     or to the per-stage VGG prefixes when the model declares
     ``freeze_stages`` > 0.
+
+    ``ema``: seed `TrainState.ema_params` with a copy of the initial
+    params (the train step maintains the average when
+    `TrainConfig.ema_decay` > 0).
     """
     variables = model.init(rng, sample_input, train=False)
     params = variables["params"]
@@ -183,4 +194,6 @@ def create_train_state(model, rng: jax.Array, sample_input: jnp.ndarray,
         batch_stats=batch_stats,
         tx=tx,
         apply_fn=model.apply,
+        ema_params=jax.tree_util.tree_map(jnp.array, params) if ema
+        else None,
     )

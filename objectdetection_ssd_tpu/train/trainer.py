@@ -81,7 +81,8 @@ class Trainer:
             (1, config.model.image_size, config.model.image_size, 3),
             jax.numpy.float32)
         self.state: TrainState = create_train_state(
-            self.model, rng, sample, config.optim, steps_per_epoch)
+            self.model, rng, sample, config.optim, steps_per_epoch,
+            ema=config.train.ema_decay > 0)
         if init_params is not None:
             from objectdetection_ssd_tpu.models.convert import merge_params
             self.state = self.state.replace(
@@ -106,7 +107,8 @@ class Trainer:
             self.priors, config.loss, mesh=self.mesh,
             donate=config.train.donate_state, seed=config.train.seed,
             state_sharding=state_sharding, remat=config.train.remat,
-            scoped_vmem_limit_kib=config.train.scoped_vmem_limit_kib)
+            scoped_vmem_limit_kib=config.train.scoped_vmem_limit_kib,
+            ema_decay=config.train.ema_decay)
         self.ckpt = CheckpointManager(
             config.train.checkpoint_dir,
             max_to_keep=config.train.max_checkpoints_to_keep)

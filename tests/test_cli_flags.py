@@ -54,6 +54,16 @@ def test_resnet_backbone_sets_image_size():
     assert cfg.model.image_size == 224
 
 
+def test_ema_flags():
+    cfg = cli.build_config(_parse(["train", "--ema-decay", "0.999"]))
+    assert cfg.train.ema_decay == 0.999
+    assert cli.build_config(_parse(["train"])).train.ema_decay == 0.0
+    # eval accepts both knobs (target reconstruction + EMA-weight read)
+    args = _parse(["eval", "--ema-decay", "0.999", "--use-ema"])
+    assert args.use_ema is True
+    assert cli.build_config(args).train.ema_decay == 0.999
+
+
 def test_eval_iou_sweep_flag():
     assert _parse(["eval", "--iou-sweep"]).iou_sweep is True
     assert _parse(["eval"]).iou_sweep is False

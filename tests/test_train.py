@@ -219,6 +219,82 @@ def test_checkpoint_roundtrip(tmp_path):
     mgr.close()
 
 
+def test_ema_tracks_params():
+    """EMA weights must follow e <- d*e + (1-d)*p exactly: fold the
+    plain-run param trajectory by hand and compare leaf-for-leaf against
+    the in-step EMA (same seeds -> identical param trajectories, since
+    the EMA never feeds back into the gradients)."""
+    d = 0.5
+    model = TinySSD()
+    priors = _tiny_priors()
+    batch = _tiny_batch()
+
+    plain = create_train_state(
+        model, jax.random.PRNGKey(0), batch["images"][:1],
+        OptimConfig(lr=0.05, use_lr_schedule=False))
+    ema_state = create_train_state(
+        model, jax.random.PRNGKey(0), batch["images"][:1],
+        OptimConfig(lr=0.05, use_lr_schedule=False), ema=True)
+    # identical starting weights
+    jax.tree_util.tree_map(np.testing.assert_array_equal,
+                           plain.params, ema_state.params)
+    np.testing.assert_array_equal(
+        jax.tree_util.tree_leaves(ema_state.ema_params)[0],
+        jax.tree_util.tree_leaves(ema_state.params)[0])
+
+    plain_step, _ = loop_lib.make_jitted_steps(priors, LossConfig(),
+                                               mesh=None, donate=False)
+    ema_step, _ = loop_lib.make_jitted_steps(priors, LossConfig(),
+                                             mesh=None, donate=False,
+                                             ema_decay=d)
+    expect_ema = jax.tree_util.tree_map(np.asarray, ema_state.ema_params)
+    for _ in range(3):
+        plain, _m = plain_step(plain, batch)
+        ema_state, _m = ema_step(ema_state, batch)
+        expect_ema = jax.tree_util.tree_map(
+            lambda e, p: e * d + np.asarray(p) * (1 - d),
+            expect_ema, plain.params)
+    # param trajectories identical; EMA equals the hand fold
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), rtol=1e-6),
+        plain.params, ema_state.params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), rtol=1e-6),
+        expect_ema, ema_state.ema_params)
+    # and it genuinely lags the raw params
+    k_raw = np.asarray(ema_state.params["Conv_0"]["kernel"])
+    k_ema = np.asarray(ema_state.ema_params["Conv_0"]["kernel"])
+    assert not np.allclose(k_raw, k_ema)
+
+
+def test_ema_checkpoint_roundtrip(tmp_path):
+    from objectdetection_ssd_tpu.train.checkpoint import CheckpointManager
+    model = TinySSD()
+    batch = _tiny_batch(bs=2)
+    priors = _tiny_priors()
+    state = create_train_state(
+        model, jax.random.PRNGKey(2), batch["images"][:1],
+        OptimConfig(lr=0.05, use_lr_schedule=False), ema=True)
+    step_fn, _ = loop_lib.make_jitted_steps(priors, LossConfig(),
+                                            mesh=None, donate=False,
+                                            ema_decay=0.9)
+    state, _ = step_fn(state, batch)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(0, state, metadata={"history": {}})
+    mgr.wait()
+    fresh = create_train_state(
+        model, jax.random.PRNGKey(9), batch["images"][:1],
+        OptimConfig(lr=0.05, use_lr_schedule=False), ema=True)
+    restored, _, _ = mgr.restore(fresh)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        state.ema_params, restored.ema_params)
+    mgr.close()
+
+
 def test_bias_lr_path_detection():
     from objectdetection_ssd_tpu.train.state import is_bias_path
     flat = jax.tree_util.tree_flatten_with_path(
