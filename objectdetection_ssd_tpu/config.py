@@ -148,6 +148,15 @@ class PostprocessConfig:
     # ExportedDetector (via an additive meta.json hint), bench.py, and
     # latency.py.  None/0 = compiler default.  Ignored on CPU.
     scoped_vmem_limit_kib: Optional[int] = 24576
+    # NMS flavor: "hard" = the reference's binary greedy suppression
+    # (`Losses.py:44-56`); "soft_gaussian" / "soft_linear" = Soft-NMS
+    # (Bodla et al. 2017) — overlapping candidates keep a DECAYED score
+    # instead of being dropped, which recovers true positives in crowded
+    # scenes.  Opt-in (the reference has no soft-NMS); exact fixed-shape
+    # formulation in infer/postprocess.py:soft_nms_scores, oracle-tested
+    # against a scalar reference implementation.
+    nms_method: str = "hard"
+    soft_nms_sigma: float = 0.5        # gaussian decay width (paper's sigma)
     # Unroll the greedy-suppression recurrence at trace time (no per-step XLA
     # while-loop overhead); the fori_loop variant is for very large K.
     # (A hand-written Pallas suppression kernel was built and benchmarked

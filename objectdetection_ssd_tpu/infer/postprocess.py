@@ -100,6 +100,61 @@ def greedy_nms_mask(iou: jnp.ndarray, valid: jnp.ndarray,
     return jnp.logical_and(valid, jnp.logical_not(suppress))
 
 
+def soft_nms_scores(iou: jnp.ndarray, scores: jnp.ndarray,
+                    valid: jnp.ndarray, method: str = "soft_gaussian",
+                    sigma: float = 0.5, iou_threshold: float = 0.45,
+                    unrolled: bool = True) -> jnp.ndarray:
+    """Soft-NMS (Bodla et al. 2017), fixed-shape and batched.
+
+    The classic algorithm — iteratively pick the current-max-score
+    candidate, then DECAY (not zero) the scores of its overlaps — expressed
+    as exactly K data-independent rounds so it jits with static shapes:
+    each round does a masked argmax, records the pick's current (decayed)
+    score, and rescales the survivors by ``exp(-iou^2/sigma)``
+    ("soft_gaussian") or ``1 - iou`` where ``iou >= iou_threshold``
+    ("soft_linear", the paper's Nt).  Rounds after all positive-score
+    candidates are picked are no-ops, which makes the fixed trip count
+    equivalent to the data-dependent loop.
+
+    Args match `greedy_nms_mask` plus ``scores`` (...,K), softmax scores
+    in descending-sorted candidate order.  Returns the decayed score of
+    every candidate at the moment it was picked (0 for never-picked /
+    invalid); threshold the result to drop low-confidence survivors.
+    """
+    k = scores.shape[-1]
+
+    def body(_, carry):
+        work, alive, out = carry
+        masked = jnp.where(alive, work, -1.0)
+        i = jnp.argmax(masked, axis=-1)                    # (...,)
+        s = jnp.max(masked, axis=-1)
+        has = s > 0.0                                      # anything left?
+        onehot = jax.nn.one_hot(i, k, dtype=jnp.bool_)
+        pick = jnp.logical_and(onehot, has[..., None])
+        out = jnp.where(pick, work, out)
+        alive = jnp.logical_and(alive, jnp.logical_not(pick))
+        row = jnp.take_along_axis(iou, i[..., None, None],
+                                  axis=-2)[..., 0, :]      # (..., K)
+        if method == "soft_gaussian":
+            decay = jnp.exp(-(row * row) / sigma)
+        elif method == "soft_linear":
+            decay = jnp.where(row >= iou_threshold, 1.0 - row, 1.0)
+        else:
+            raise ValueError(f"unknown soft-NMS method {method!r}")
+        decay = jnp.where(has[..., None], decay, 1.0)      # no-op rounds
+        work = jnp.where(alive, work * decay, work)
+        return work, alive, out
+
+    carry = (jnp.where(valid, scores, 0.0), valid,
+             jnp.zeros_like(scores))
+    if unrolled:
+        for _ in range(k):
+            carry = body(0, carry)
+    else:
+        carry = jax.lax.fori_loop(0, k, body, carry)
+    return carry[2]
+
+
 def _class_top_k(cls_scores: jnp.ndarray, k: int,
                  config: PostprocessConfig):
     """(B, 20, P) -> ((B, 20, K) scores sorted desc, (B, 20, K) indices).
@@ -177,10 +232,20 @@ def postprocess(pred_offsets: jnp.ndarray, pred_logits: jnp.ndarray,
     valid = top_scores >= config.score_threshold
 
     iou = box_ops.pairwise_iou(cand_boxes, cand_boxes)      # (B, 20, K, K)
-    keep = greedy_nms_mask(iou, valid, config.nms_iou_threshold,
-                           unrolled=config.nms_unrolled)
-
-    kept_scores = jnp.where(keep, top_scores, 0.0)         # (B, 20, K)
+    if config.nms_method == "hard":
+        keep = greedy_nms_mask(iou, valid, config.nms_iou_threshold,
+                               unrolled=config.nms_unrolled)
+        kept_scores = jnp.where(keep, top_scores, 0.0)     # (B, 20, K)
+    else:
+        decayed = soft_nms_scores(iou, top_scores, valid,
+                                  method=config.nms_method,
+                                  sigma=config.soft_nms_sigma,
+                                  iou_threshold=config.nms_iou_threshold,
+                                  unrolled=config.nms_unrolled)
+        # Soft-NMS keeps every candidate at its decayed score; the score
+        # threshold then plays the paper's termination criterion.
+        kept_scores = jnp.where(decayed >= config.score_threshold,
+                                decayed, 0.0)
     flat_scores = kept_scores.reshape(bs, -1)              # (B, 20*K)
     flat_boxes = cand_boxes.reshape(bs, -1, 4)
     flat_classes = jnp.tile(

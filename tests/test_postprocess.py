@@ -88,6 +88,87 @@ def test_greedy_nms_random_matches_oracle():
     np.testing.assert_array_equal(np.asarray(keep), want)
 
 
+def _oracle_soft_nms(boxes, scores, method, sigma, iou_thr):
+    """Scalar transcription of Soft-NMS (Bodla et al. 2017, alg. 1):
+    iteratively pick the max-score candidate, decay its overlaps' scores.
+    Returns each candidate's score at the moment it was picked."""
+    n = len(boxes)
+    iou = _np_iou(boxes, boxes)
+    work = scores.astype(np.float64).copy()
+    alive = np.ones(n, bool)
+    out = np.zeros(n)
+    for _ in range(n):
+        masked = np.where(alive, work, -1.0)
+        i = int(np.argmax(masked))
+        if masked[i] <= 0.0:
+            break
+        out[i] = work[i]
+        alive[i] = False
+        if method == "soft_gaussian":
+            decay = np.exp(-(iou[i] ** 2) / sigma)
+        else:
+            decay = np.where(iou[i] >= iou_thr, 1.0 - iou[i], 1.0)
+        work = np.where(alive, work * decay, work)
+    return out
+
+
+def test_soft_nms_matches_scalar_oracle():
+    """Both soft-NMS flavors, both loop formulations, vs the scalar
+    algorithm on random overlapping boxes."""
+    from objectdetection_ssd_tpu.infer.postprocess import soft_nms_scores
+    rng = np.random.default_rng(3)
+    n = 32
+    lo = rng.uniform(0, 0.6, (n, 2))
+    wh = rng.uniform(0.1, 0.4, (n, 2))
+    boxes = np.concatenate([lo, lo + wh], 1).astype(np.float32)
+    scores = np.sort(rng.uniform(0.05, 1.0, n).astype(np.float32))[::-1]
+    iou = _np_iou(boxes, boxes).astype(np.float32)
+    for method in ("soft_gaussian", "soft_linear"):
+        want = _oracle_soft_nms(boxes, scores, method, 0.5, 0.45)
+        for unrolled in (True, False):
+            got = soft_nms_scores(jnp.asarray(iou), jnp.asarray(scores),
+                                  jnp.ones(n, bool), method=method,
+                                  sigma=0.5, iou_threshold=0.45,
+                                  unrolled=unrolled)
+            np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5,
+                                       atol=1e-7)
+
+
+def test_soft_nms_invalid_candidates_stay_zero():
+    from objectdetection_ssd_tpu.infer.postprocess import soft_nms_scores
+    iou = jnp.eye(4)
+    scores = jnp.asarray([0.9, 0.8, 0.7, 0.6])
+    valid = jnp.asarray([True, False, True, False])
+    got = np.asarray(soft_nms_scores(iou, scores, valid))
+    np.testing.assert_allclose(got, [0.9, 0.0, 0.7, 0.0])
+
+
+def test_postprocess_soft_nms_recovers_crowded_duplicate():
+    """The crowded-scene motivation: two genuinely-distinct same-class
+    objects with IoU above the hard-NMS threshold — hard NMS keeps one,
+    soft keeps both (second at a decayed score)."""
+    import dataclasses
+    priors, offsets, logits = _toy_predictions()
+    # make the overlapping prior-1 a strong detection too
+    logits[0, 1, 3] = 5.9
+    cfg = PostprocessConfig(per_class_top_k=4, top_k=8,
+                            use_approx_top_k=False, anchor_prefilter=0)
+    hard = postprocess(jnp.asarray(offsets), jnp.asarray(logits),
+                       jnp.asarray(priors), cfg)
+    soft = postprocess(jnp.asarray(offsets), jnp.asarray(logits),
+                       jnp.asarray(priors),
+                       dataclasses.replace(cfg, nms_method="soft_gaussian",
+                                           score_threshold=0.1))
+    hard_c3 = int((np.asarray(hard.classes)[0][np.asarray(hard.valid)[0]]
+                   == 3).sum())
+    soft_c3 = int((np.asarray(soft.classes)[0][np.asarray(soft.valid)[0]]
+                   == 3).sum())
+    assert hard_c3 == 1 and soft_c3 == 2
+    # the survivor's decayed score is below its raw softmax score
+    s = np.sort(np.asarray(soft.scores)[0][np.asarray(soft.valid)[0]])[0]
+    assert 0.1 <= s < 0.5
+
+
 def _toy_predictions():
     """4 priors; craft logits so class scores are controlled."""
     priors = np.array([[0.25, 0.25, 0.3, 0.3],
