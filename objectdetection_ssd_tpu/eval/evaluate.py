@@ -44,7 +44,8 @@ def evaluate_records(config: Config, params: Any, records: List[ImageRecord],
                      keep_difficult: Optional[bool] = None,
                      detector: Optional[Detector] = None,
                      iou_sweep: bool = False,
-                     pr_curves_path: Optional[str] = None):
+                     pr_curves_path: Optional[str] = None,
+                     mesh=None):
     """Returns (per-class AP, mAP) over ``records``.
 
     GT handling matches the reference protocol: difficult objects are
@@ -63,15 +64,29 @@ def evaluate_records(config: Config, params: Any, records: List[ImageRecord],
     ``pr_curves_path``: write the per-class cumulative precision/recall
     curves (score-descending, IoU 0.5) as JSON — operating-threshold
     selection and per-class failure analysis without re-running the model.
+
+    ``mesh``: optional `jax.sharding.Mesh` — eval batches shard over its
+    batch axes and the forward+postprocess runs data-parallel across the
+    mesh's devices (the TPU-scale path for large val sets; the reference
+    evaluates on one GPU, SURVEY.md §3.5).  The batch size is rounded up
+    to a multiple of the mesh's batch ways so every shard is non-empty.
     """
     if detector is None:
         detector = Detector(config, params, batch_stats,
                             postprocess_config=exact_eval_postprocess(
-                                config.postprocess))
+                                config.postprocess),
+                            mesh=mesh)
     else:
         detector.params = params
         detector.batch_stats = batch_stats
+        mesh = getattr(detector, "mesh", mesh)
     bs = batch_size or config.data.batch_size
+    if mesh is not None:
+        from objectdetection_ssd_tpu.parallel import mesh as mesh_lib
+        ways = 1
+        for a in mesh_lib.batch_axes(mesh):
+            ways *= mesh.shape[a]
+        bs = -(-bs // ways) * ways      # round UP: shards must be non-empty
     size = config.model.image_size
     if keep_difficult is None:
         keep_difficult = config.data.keep_difficult
@@ -143,5 +158,6 @@ def evaluate_records(config: Config, params: Any, records: List[ImageRecord],
         return aps, mean_ap
     from objectdetection_ssd_tpu.eval.voc_map import voc_map_sweep
     per_thr, sweep_mean = voc_map_sweep(det_boxes, det_classes, det_scores,
-                                        gt_boxes, gt_classes)
+                                        gt_boxes, gt_classes,
+                                        known={0.5: mean_ap})
     return aps, mean_ap, per_thr, sweep_mean

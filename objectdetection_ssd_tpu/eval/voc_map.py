@@ -201,6 +201,7 @@ def voc_map_sweep(det_boxes: Sequence[np.ndarray],
                   difficulties: Optional[Sequence[np.ndarray]] = None,
                   iou_thresholds: Sequence[float] = tuple(
                       np.arange(0.5, 1.0, 0.05).round(2)),
+                  known: Optional[Dict[float, float]] = None,
                   ) -> Tuple[Dict[float, float], float]:
     """mAP over an IoU-threshold sweep — a COCO-style strictness summary.
 
@@ -215,11 +216,17 @@ def voc_map_sweep(det_boxes: Sequence[np.ndarray],
     Cost: one full voc_map pass per threshold (the vectorized evaluator is
     ~2.6 s per pass at 5k images x 1M detections — RESULTS.md "mAP
     evaluator"), on already-collected detections: no model re-runs.
+    ``known`` lets a caller that already scored some thresholds (the usual
+    0.5 headline pass) skip recomputing them.
     """
     per_thr: Dict[float, float] = {}
     for thr in iou_thresholds:
+        thr = float(thr)
+        if known is not None and thr in known:
+            per_thr[thr] = known[thr]
+            continue
         _, m = voc_map(det_boxes, det_classes, det_scores,
                        gt_boxes, gt_classes, difficulties=difficulties,
-                       iou_threshold=float(thr))
-        per_thr[float(thr)] = m
+                       iou_threshold=thr)
+        per_thr[thr] = m
     return per_thr, float(np.mean(list(per_thr.values())))

@@ -118,3 +118,79 @@ def test_sharded_detector_matches_single_device():
                                np.asarray(d_mesh.scores), atol=1e-6)
     np.testing.assert_allclose(np.asarray(d_single.boxes_xyxy),
                                np.asarray(d_mesh.boxes_xyxy), atol=1e-6)
+
+
+def test_evaluate_records_data_parallel_matches_single(tmp_path):
+    """`evaluate_records(mesh=...)` (the `cli eval --data-parallel N` path)
+    must score identically to the single-device evaluator: same per-class
+    APs, same mAP, with the batch size rounded up to the mesh's batch ways
+    so every shard is non-empty."""
+    import dataclasses
+    import flax.linen as nn
+    import jax.numpy as jnp
+    from objectdetection_ssd_tpu.config import Config, DataConfig, ModelConfig
+    from objectdetection_ssd_tpu.data import synthetic, voc
+    from objectdetection_ssd_tpu.eval.evaluate import evaluate_records
+    from objectdetection_ssd_tpu.infer import detector as detector_lib
+    from objectdetection_ssd_tpu.infer.postprocess import postprocess
+
+    synthetic.generate_voc(str(tmp_path), num_2007=10, num_2012=0,
+                           image_size=(96, 96), seed=3)
+    records = voc.load_records(str(tmp_path), train=True)
+    cfg = Config(model=ModelConfig(image_size=32),
+                 data=DataConfig(voc_root=str(tmp_path), batch_size=6,
+                                 num_workers=0))
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(8, (3, 3), strides=(8, 8), padding="SAME")(x)
+            loc = nn.Conv(4, (1, 1))(x)
+            conf = nn.Conv(21, (1, 1))(x)
+            return (loc.reshape(x.shape[0], -1, 4),
+                    conf.reshape(x.shape[0], -1, 21))
+
+    rng = np.random.default_rng(0)
+    pri = np.concatenate([rng.uniform(0.2, 0.8, (16, 2)),
+                          np.full((16, 2), 0.3)], 1).astype(np.float32)
+    model = Tiny()
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 32, 3)))["params"]
+    pp = dataclasses.replace(cfg.postprocess, per_class_top_k=16, top_k=10,
+                             use_approx_top_k=False)
+
+    def build(mesh):
+        det = detector_lib.Detector.__new__(detector_lib.Detector)
+        det.config = cfg
+        det.model = model
+        det.params = params
+        det.batch_stats = None
+        det.pp_config = pp
+        det.priors = jnp.asarray(pri)
+        det.mesh = mesh
+
+        def _infer(p, bs, imgs):
+            loc, conf = model.apply({"params": p}, imgs, train=False)
+            return postprocess(loc, conf, det.priors, det.pp_config)
+
+        if mesh is None:
+            det._infer = jax.jit(_infer)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            det._infer = jax.jit(
+                _infer,
+                in_shardings=(NamedSharding(mesh, P()),
+                              NamedSharding(mesh, P()),
+                              NamedSharding(mesh, P("data"))),
+                out_shardings=NamedSharding(mesh, P("data")))
+        return det
+
+    aps_s, map_s = evaluate_records(cfg, params, records,
+                                    detector=build(None))
+    # cfg batch 6 is NOT divisible by the 8-way mesh: exercises the
+    # round-up (6 -> 8) that keeps every shard non-empty.
+    mesh = mesh_lib.create_mesh()
+    aps_m, map_m = evaluate_records(cfg, params, records,
+                                    detector=build(mesh))
+    assert aps_s == aps_m
+    np.testing.assert_allclose(map_s, map_m, rtol=1e-12)
