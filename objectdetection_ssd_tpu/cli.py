@@ -44,6 +44,20 @@ def _common_flags(p: argparse.ArgumentParser):
     p.add_argument("--synthetic", action="store_true",
                    help="generate a synthetic VOC fixture at --voc-root "
                         "(for smoke tests without the dataset)")
+    p.add_argument("--nms-method",
+                   choices=["hard", "soft_gaussian", "soft_linear"],
+                   default=None,
+                   help="NMS flavor (default hard = reference parity; "
+                        "soft_* decays overlapping candidates' scores "
+                        "instead of dropping them — Soft-NMS)")
+    p.add_argument("--soft-nms-sigma", type=float, default=None,
+                   help="gaussian decay width for --nms-method "
+                        "soft_gaussian (default 0.5)")
+    p.add_argument("--tta-flip", action="store_true",
+                   help="test-time augmentation: also run the horizontal "
+                        "mirror of each image and merge both views' "
+                        "candidates in one NMS pass (costs a second "
+                        "forward; eval/detect/export accuracy boost)")
     # Common (not train-only): eval/detect/export must rebuild the SAME
     # TrainState structure to restore an EMA-enabled checkpoint.
     p.add_argument("--ema-decay", type=float, default=None,
@@ -109,6 +123,16 @@ def build_config(args) -> config_lib.Config:
     if getattr(args, "ema_decay", None) is not None:
         cfg = cfg.replace(train=dataclasses.replace(
             cfg.train, ema_decay=args.ema_decay))
+    pp_kw = {}
+    if getattr(args, "nms_method", None) is not None:
+        pp_kw["nms_method"] = args.nms_method
+    if getattr(args, "soft_nms_sigma", None) is not None:
+        pp_kw["soft_nms_sigma"] = args.soft_nms_sigma
+    if getattr(args, "tta_flip", False):
+        pp_kw["tta_flip"] = True
+    if pp_kw:
+        cfg = cfg.replace(postprocess=dataclasses.replace(
+            cfg.postprocess, **pp_kw))
     return cfg
 
 
@@ -263,9 +287,19 @@ def cmd_eval(args) -> int:
     params, batch_stats = _restore_params(cfg, args.allow_random_init,
                                           use_ema=getattr(args, "use_ema",
                                                           False))
+    mesh = None
+    if getattr(args, "data_parallel", 0) and args.data_parallel > 1:
+        import jax
+        from objectdetection_ssd_tpu.parallel import mesh as mesh_lib
+        devs = jax.devices()
+        if args.data_parallel > len(devs):
+            raise SystemExit(f"--data-parallel {args.data_parallel} exceeds "
+                             f"the {len(devs)} available devices")
+        mesh = mesh_lib.create_mesh((args.data_parallel,),
+                                    devices=devs[:args.data_parallel])
     out = evaluate_records(cfg, params, records, batch_stats=batch_stats,
                            iou_sweep=args.iou_sweep,
-                           pr_curves_path=args.pr_curves)
+                           pr_curves_path=args.pr_curves, mesh=mesh)
     aps, mean_ap = out[0], out[1]
     for name, ap in aps.items():
         print(f"{name:>12s}  AP = {ap:.4f}")
@@ -450,6 +484,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_eval.add_argument("--allow-random-init", action="store_true",
                         help="proceed with random weights when no "
                              "checkpoint is found (smoke tests)")
+    p_eval.add_argument("--data-parallel", type=int, default=0,
+                        metavar="N",
+                        help="shard eval batches over an N-device data "
+                             "mesh (0/1 = single device); the batch size "
+                             "is rounded up to a multiple of N")
     p_eval.add_argument("--use-ema", action="store_true",
                         help="read the EMA-averaged weights (requires an EMA-enabled checkpoint and the matching --ema-decay)")
     p_eval.set_defaults(fn=cmd_eval)

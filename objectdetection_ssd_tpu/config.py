@@ -163,6 +163,14 @@ class PostprocessConfig:
     # across three formulations and retired: best 2232 vs 2248 img/s for
     # this unrolled-XLA path — benchmarks/RESULTS.md "Pallas NMS".)
     nms_unrolled: bool = True
+    # Test-time augmentation: also run the horizontally-flipped image
+    # through the model, mirror its decoded boxes back, and let ONE NMS
+    # pass merge both views' candidates (the anchor axis doubles; the
+    # mirrored view's predictions are re-encoded against the same priors
+    # so every postprocess stage is unchanged).  Opt-in — it costs a
+    # second forward per image, and the reference has no TTA (its flip is
+    # train-time only, `Dataset.py` via `transforms`).
+    tta_flip: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -253,7 +261,7 @@ class TrainConfig:
     # even where XLA_FLAGS cannot — the CPU-only client XLA aborts on
     # --xla_tpu_* flags): per-fusion scoped-VMEM budget in KiB.  64 MiB
     # measured +1.5% train img/s at bs=128 and +2.9% at bs=256, flat
-    # across 32-96 MiB; the SAME option hurts the inference graph -4.3%,
+    # across 32-96 MiB; the SAME option hurts the inference graph -4.2%,
     # so it is applied to the TRAIN step only (RESULTS.md "scoped-VMEM
     # compiler option").  None/0 = compiler default.  Ignored on CPU.
     scoped_vmem_limit_kib: Optional[int] = 65536

@@ -81,7 +81,24 @@ class Detector:
             if batch_stats is not None:
                 variables["batch_stats"] = batch_stats
             loc, conf = self.model.apply(variables, images, train=False)
-            return postprocess(loc, conf, self.priors, self.pp_config)
+            priors = self.priors
+            if self.pp_config.tta_flip:
+                # TTA: second forward on the horizontally-mirrored image;
+                # mirror its decoded boxes back (cx -> 1-cx) and re-encode
+                # against the SAME priors, then concatenate along the
+                # anchor axis — one postprocess/NMS pass merges the two
+                # views' candidates (duplicate detections of the same
+                # object suppress each other like any overlap).
+                from objectdetection_ssd_tpu.ops import boxes as box_ops
+                loc_f, conf_f = self.model.apply(
+                    variables, images[:, :, ::-1, :], train=False)
+                b = box_ops.decode(loc_f, priors)
+                b = jnp.concatenate([1.0 - b[..., :1], b[..., 1:]], axis=-1)
+                loc_f = box_ops.encode(b, priors)
+                loc = jnp.concatenate([loc, loc_f], axis=1)
+                conf = jnp.concatenate([conf, conf_f], axis=1)
+                priors = jnp.concatenate([priors, priors], axis=0)
+            return postprocess(loc, conf, priors, self.pp_config)
 
         from objectdetection_ssd_tpu.xla_options import scoped_vmem_options
         copts = scoped_vmem_options(self.pp_config.scoped_vmem_limit_kib)

@@ -110,3 +110,21 @@ def test_freeze_stages_rejected_for_resnet34():
                    "--freeze-trunk-stages", "2"])
     with pytest.raises(SystemExit, match="VGG-16"):
         cli.build_config(args)
+
+
+def test_eval_data_parallel_flag():
+    args = _parse(["eval", "--data-parallel", "4"])
+    assert args.data_parallel == 4
+    args = _parse(["eval"])
+    assert args.data_parallel == 0
+
+
+def test_nms_method_flags_reach_config():
+    args = _parse(["eval", "--nms-method", "soft_gaussian",
+                   "--soft-nms-sigma", "0.7"])
+    cfg = cli.build_config(args)
+    assert cfg.postprocess.nms_method == "soft_gaussian"
+    assert cfg.postprocess.soft_nms_sigma == 0.7
+    # default: reference-parity hard NMS, untouched config
+    cfg = cli.build_config(_parse(["eval"]))
+    assert cfg.postprocess.nms_method == "hard"

@@ -189,3 +189,64 @@ def test_cli_eval_missing_checkpoint_errors(tmp_path):
         cli.main(["eval", "--voc-root", str(root),
                   "--checkpoint-dir", str(tmp_path / "nope"),
                   "--num-workers", "0"])
+
+
+def test_tta_flip_recovers_mirror_only_detection(monkeypatch):
+    """End-to-end check of the TTA mirror math (`infer/detector.py`): a
+    direction-sensitive model that fires ONLY when the bright blob is in
+    the LEFT half of its input cannot detect a right-side object — unless
+    tta_flip runs the mirrored view and maps its box back.  The recovered
+    detection must land at the MIRRORED prior location (cx 0.25 -> 0.75),
+    proving decode -> mirror -> re-encode round-trips exactly."""
+    from objectdetection_ssd_tpu.infer import detector as detector_lib
+
+    class LeftEye(nn.Module):
+        """Parameter-free detector: one anchor; class-1 logit is positive
+        iff the left half of the image is brighter than the right."""
+
+        @nn.compact
+        def __call__(self, x, train=False):
+            half = x.shape[2] // 2
+            left = jnp.mean(x[:, :, :half, :], axis=(1, 2, 3))
+            right = jnp.mean(x[:, :, half:, :], axis=(1, 2, 3))
+            logit = 40.0 * (left - right)                    # (B,)
+            conf = jnp.full((x.shape[0], 1, 21), -20.0)
+            conf = conf.at[:, 0, 20].set(0.0)   # background (LAST channel)
+            conf = conf.at[:, 0, 1].set(logit)  # foreground class 1
+            loc = jnp.zeros((x.shape[0], 1, 4))              # box == prior
+            return loc, conf
+
+    prior = np.array([[0.25, 0.5, 0.2, 0.2]], np.float32)    # cx cy w h
+    monkeypatch.setattr(detector_lib, "build_model",
+                        lambda mc: LeftEye())
+    monkeypatch.setattr(detector_lib.priors_lib, "priors_for_model",
+                        lambda mc, pc: prior)
+
+    cfg = Config(model=ModelConfig(image_size=32))
+    pp = dataclasses.replace(cfg.postprocess, use_approx_top_k=False,
+                             anchor_prefilter=0, per_class_top_k=4,
+                             top_k=4)
+    img = np.zeros((1, 32, 32, 3), np.float32)
+    img[:, :, 16:, :] = 1.0                                  # bright RIGHT
+
+    det = detector_lib.Detector(cfg, params={}, postprocess_config=pp)
+    assert int(np.sum(np.asarray(det.detect_batch(img).valid))) == 0
+
+    det_tta = detector_lib.Detector(
+        cfg, params={},
+        postprocess_config=dataclasses.replace(pp, tta_flip=True))
+    out = jax.device_get(det_tta.detect_batch(img))
+    assert int(np.sum(out.valid)) == 1
+    i = int(np.argmax(out.valid[0]))
+    assert int(out.classes[0, i]) == 1
+    # prior at cx=0.25 seen in the mirrored view -> box mirrored to 0.75
+    np.testing.assert_allclose(out.boxes_xyxy[0, i],
+                               [0.65, 0.4, 0.85, 0.6], atol=1e-5)
+
+    # Flip-invariance: the SAME TTA detector on the mirrored image must
+    # produce the mirrored detection (direct view fires this time).
+    out_m = jax.device_get(det_tta.detect_batch(img[:, :, ::-1, :]))
+    assert int(np.sum(out_m.valid)) == 1
+    j = int(np.argmax(out_m.valid[0]))
+    np.testing.assert_allclose(out_m.boxes_xyxy[0, j],
+                               [0.15, 0.4, 0.35, 0.6], atol=1e-5)
