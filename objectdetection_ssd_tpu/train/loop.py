@@ -97,9 +97,16 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
     if ema_decay and state.ema_params is not None:
         # Standard EMA: e <- d*e + (1-d)*p, fused into the same program
         # (one extra multiply-add per param — negligible next to the
-        # backward sweep).
+        # backward sweep).  Under gradient accumulation (optax.MultiSteps)
+        # params only move when the accumulation window closes; gate the
+        # EMA on that boundary so the configured decay means "per optimizer
+        # update", not "per micro-batch" (ungated, --grad-accum k would
+        # silently compound the decay to d^k per real update).
+        mini = getattr(new_state.opt_state, "mini_step", None)
+        updated = (mini == 0) if mini is not None else True
         new_state = new_state.replace(ema_params=jax.tree_util.tree_map(
-            lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+            lambda e, p: jnp.where(
+                updated, e * ema_decay + p * (1.0 - ema_decay), e),
             state.ema_params, new_state.params))
     metrics = {"loss": loss.total, "cls_loss": loss.cls,
                "loc_loss": loss.loc,

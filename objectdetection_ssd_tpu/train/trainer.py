@@ -87,6 +87,13 @@ class Trainer:
             from objectdetection_ssd_tpu.models.convert import merge_params
             self.state = self.state.replace(
                 params=merge_params(self.state.params, init_params))
+            if self.state.ema_params is not None:
+                # Re-seed the EMA from the MERGED weights: seeding from the
+                # random init would make --use-ema carry ~d^n of random
+                # weights for ~1/(1-d) steps after --init-torch-* loads.
+                self.state = self.state.replace(
+                    ema_params=jax.tree_util.tree_map(
+                        jax.numpy.array, self.state.params))
         if init_batch_stats is not None:
             from objectdetection_ssd_tpu.models.convert import merge_params
             self.state = self.state.replace(

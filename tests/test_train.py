@@ -269,6 +269,74 @@ def test_ema_tracks_params():
     assert not np.allclose(k_raw, k_ema)
 
 
+def test_ema_gated_on_grad_accum_boundary():
+    """Under optax.MultiSteps the EMA must fold only when the accumulation
+    window closes — otherwise --grad-accum k silently compounds the decay
+    to d^k per real optimizer update (review finding)."""
+    d = 0.5
+    model = TinySSD()
+    priors = _tiny_priors()
+    batch = _tiny_batch()
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), batch["images"][:1],
+        OptimConfig(lr=0.05, use_lr_schedule=False, grad_accum_steps=2),
+        ema=True)
+    step_fn, _ = loop_lib.make_jitted_steps(priors, LossConfig(),
+                                            mesh=None, donate=False,
+                                            ema_decay=d)
+    p0 = jax.tree_util.tree_map(np.asarray, state.params)
+    expect = jax.tree_util.tree_map(np.asarray, state.ema_params)
+    for micro in range(1, 5):
+        prev_params = jax.tree_util.tree_map(np.asarray, state.params)
+        prev_ema = jax.tree_util.tree_map(np.asarray, state.ema_params)
+        state, _m = step_fn(state, batch)
+        if micro % 2 == 0:           # window closed -> params moved, fold
+            expect = jax.tree_util.tree_map(
+                lambda e, p: e * d + np.asarray(p) * (1 - d),
+                expect, state.params)
+        else:                        # mid-window -> params AND ema frozen
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_array_equal(
+                    a, np.asarray(b)), prev_params, state.params)
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_array_equal(
+                    a, np.asarray(b)), prev_ema, state.ema_params)
+    # after 4 micro-steps = 2 real updates: exactly 2 folds
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), rtol=1e-6),
+        expect, state.ema_params)
+    # sanity: params did move from init
+    assert not np.allclose(p0["Conv_0"]["kernel"],
+                           np.asarray(state.params["Conv_0"]["kernel"]))
+
+
+def test_ema_reseeded_from_pretrained_init():
+    """Trainer must seed the EMA from the MERGED pretrained weights, not
+    the random init (review finding: --init-torch-* + --ema-decay)."""
+    import dataclasses
+    from objectdetection_ssd_tpu.config import Config, ModelConfig
+    from objectdetection_ssd_tpu.train.trainer import Trainer
+
+    cfg = Config(model=ModelConfig(backbone="vgg16", image_size=64))
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, batch_size=8),
+        train=dataclasses.replace(cfg.train, ema_decay=0.999))
+
+    class _FakeLoader:
+        records = []
+
+        def __len__(self):
+            return 1
+
+    # Partial init tree: override the conv4_3 L2Norm scale leaf to a
+    # recognizable constant.
+    init = {"l2norm_4_3": {"scale": np.full((512,), 123.0, np.float32)}}
+    trainer = Trainer(cfg, _FakeLoader(), init_params=init)
+    np.testing.assert_allclose(
+        np.asarray(trainer.state.ema_params["l2norm_4_3"]["scale"]), 123.0)
+
+
 def test_ema_checkpoint_roundtrip(tmp_path):
     from objectdetection_ssd_tpu.train.checkpoint import CheckpointManager
     model = TinySSD()
