@@ -62,7 +62,11 @@ def main() -> int:
 
     det = serve_http.MinimalExportedDetector(artifact)
     batcher = None
-    if args.dynamic_batch and det.meta["batch_size"] > 1:
+    if args.dynamic_batch:
+        if args.batch <= 1:
+            raise SystemExit("error: --dynamic-batch needs --batch > 1 "
+                             "(otherwise the A/B silently measures "
+                             "per-request mode)")
         batcher = serve_http.MicroBatcher(det, max_wait_ms=args.max_wait_ms)
     handler = serve_http.build_handler(det, det.meta["classes"],
                                        batcher=batcher)

@@ -238,7 +238,13 @@ def main(argv=None) -> int:
 
     det = MinimalExportedDetector(args.artifact)
     batcher = None
-    if args.dynamic_batch and det.meta["batch_size"] > 1:
+    if args.dynamic_batch:
+        if det.meta["batch_size"] <= 1:
+            raise SystemExit(
+                "error: --dynamic-batch needs an artifact compiled with "
+                "batch_size > 1 (this one is batch_size="
+                f"{det.meta['batch_size']}; re-export with "
+                "--serve-batch-size N)")
         batcher = MicroBatcher(det, max_wait_ms=args.max_wait_ms)
     handler = build_handler(det, det.meta["classes"], batcher=batcher)
     # ThreadingHTTPServer: handlers must overlap for requests to coalesce
