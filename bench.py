@@ -35,7 +35,11 @@ def main() -> int:
     # the no-arg driver invocation keeps the SSD300 headline contract.
     argv = [a for a in sys.argv[1:]]
     resnet34 = "--resnet34" in argv
-    argv = [a for a in argv if a != "--resnet34"]
+    # `--int8`: post-training-quantized conv stack (infer/quant.py; v5e
+    # int8 MXU peak is 2x bf16).  Calibration on one batch of the bench's
+    # own random inputs — scale VALUES don't affect throughput.
+    int8 = "--int8" in argv
+    argv = [a for a in argv if a not in ("--resnet34", "--int8")]
     batch_size = int(argv[0]) if argv else 256
     on_tpu = jax.devices()[0].platform != "cpu"
     # bf16 activations keep the MXU at full rate; f32 on CPU for testing.
@@ -56,6 +60,14 @@ def main() -> int:
     rng = jax.random.PRNGKey(0)
     images = jax.random.normal(rng, (batch_size, size, size, 3), dtype)
     params = jax.jit(model.init)(rng, images[:1])
+    if int8:
+        from objectdetection_ssd_tpu.infer import quant as quant_lib
+        stats = quant_lib.calibrate(
+            model, params["params"], [np.asarray(images[:8], np.float32)],
+            batch_stats=params.get("batch_stats"))
+        params = dict(params, quant=jax.tree_util.tree_map(
+            jnp.asarray, quant_lib.act_scales(stats)))
+        name += "_int8"
 
     # Inference-graph scoped-VMEM budget (PJRT compiler option; measured
     # +1.2% e2e at bs=256 — PostprocessConfig.scoped_vmem_limit_kib and
@@ -123,8 +135,11 @@ def main() -> int:
         "vs_baseline": None if resnet34 else round(ips / 2000.0, 3),
     }
     if step_flops and on_tpu:
-        # bf16 peak on v5e; flops counted by XLA over the whole step graph.
-        out["mfu"] = round(step_flops / dt / 197e12, 3)
+        # flops counted by XLA over the whole step graph; peak is v5e bf16
+        # (197 TF/s) or int8 (394 TOP/s) — with --int8 the conv FLOPs run
+        # on the int8 MXU path, so the bf16-peak number would overstate.
+        peak = 394e12 if int8 else 197e12
+        out["mfu"] = round(step_flops / dt / peak, 3)
         out["gflop_per_image"] = round(step_flops / batch_size / 1e9, 1)
     print(json.dumps(out))
     return 0

@@ -133,7 +133,76 @@ def build_config(args) -> config_lib.Config:
     if pp_kw:
         cfg = cfg.replace(postprocess=dataclasses.replace(
             cfg.postprocess, **pp_kw))
+    q_kw = {}
+    if getattr(args, "int8", False):
+        q_kw["int8"] = True
+    if getattr(args, "int8_calib_images", None) is not None:
+        q_kw["calib_images"] = args.int8_calib_images
+    if getattr(args, "int8_quantize_heads", False):
+        q_kw["quantize_heads"] = True
+    if q_kw:
+        cfg = cfg.replace(quant=dataclasses.replace(cfg.quant, **q_kw))
     return cfg
+
+
+def _build_quant(cfg: config_lib.Config, params, batch_stats,
+                 records=None, image_paths=None):
+    """Calibrate int8 activation scales when ``--int8`` is on.
+
+    Calibration images come from ``records`` (eval/export: the TRAIN split
+    — the standard PTQ recipe calibrates on training data) or from
+    ``image_paths`` (detect: the input images themselves).  Returns the
+    act-scale tree for `Detector(quant=...)` / `export_detector(quant=...)`,
+    or None when quantization is off.
+    """
+    if not cfg.quant.int8:
+        return None
+    import numpy as np
+    from objectdetection_ssd_tpu.data import pipeline as data_pipeline
+    from objectdetection_ssd_tpu.infer import quant as quant_lib
+    from objectdetection_ssd_tpu.models.ssd import build_model
+    paths = (image_paths if image_paths is not None
+             else [r.image_path for r in records])
+    n = max(1, min(cfg.quant.calib_images, len(paths)))
+    paths = paths[:n]
+    size = cfg.model.image_size
+    u8 = cfg.data.transfer_dtype == "uint8"
+    bs = min(cfg.data.batch_size, n)
+
+    def batches():
+        for start in range(0, n, bs):
+            imgs = []
+            for p in paths[start:start + bs]:
+                img = data_pipeline.preprocess_image(
+                    data_pipeline.load_image(p), size, normalize=not u8)
+                imgs.append(data_pipeline.quantize_uint8(img) if u8 else img)
+            while len(imgs) < bs:           # static shape for the jit
+                imgs.append(imgs[-1])
+            yield np.stack(imgs)
+
+    stats = quant_lib.calibrate(build_model(cfg.model), params, batches(),
+                                batch_stats=batch_stats)
+    qtree = quant_lib.act_scales(stats,
+                                 quantize_heads=cfg.quant.quantize_heads)
+    print(f"int8: calibrated {quant_lib.count_quantized(qtree)} convs "
+          f"on {n} images", file=sys.stderr)
+    return qtree
+
+
+def _int8_flags(p: argparse.ArgumentParser):
+    """Inference-only int8-PTQ flags (eval/detect/export)."""
+    p.add_argument("--int8", action="store_true",
+                   help="post-training int8 quantization of the conv stack "
+                        "(v5e MXU int8 peak is 2x bf16; calibrates "
+                        "activation scales first — see infer/quant.py)")
+    p.add_argument("--int8-calib-images", type=int, default=None,
+                   metavar="N",
+                   help="calibration set size (default 64; eval/export "
+                        "draw from the train split, detect from the input "
+                        "images themselves)")
+    p.add_argument("--int8-quantize-heads", action="store_true",
+                   help="also quantize the loc/conf heads (default keeps "
+                        "them f32 — the usual PTQ accuracy recipe)")
 
 
 def _load_split(cfg: config_lib.Config, args):
@@ -297,9 +366,11 @@ def cmd_eval(args) -> int:
                              f"the {len(devs)} available devices")
         mesh = mesh_lib.create_mesh((args.data_parallel,),
                                     devices=devs[:args.data_parallel])
+    quant = _build_quant(cfg, params, batch_stats, records=train_recs)
     out = evaluate_records(cfg, params, records, batch_stats=batch_stats,
                            iou_sweep=args.iou_sweep,
-                           pr_curves_path=args.pr_curves, mesh=mesh)
+                           pr_curves_path=args.pr_curves, mesh=mesh,
+                           quant=quant)
     aps, mean_ap = out[0], out[1]
     for name, ap in aps.items():
         print(f"{name:>12s}  AP = {ap:.4f}")
@@ -320,7 +391,8 @@ def cmd_detect(args) -> int:
     params, batch_stats = _restore_params(cfg, args.allow_random_init,
                                           use_ema=getattr(args, "use_ema",
                                                           False))
-    det = Detector(cfg, params, batch_stats)
+    quant = _build_quant(cfg, params, batch_stats, image_paths=args.images)
+    det = Detector(cfg, params, batch_stats, quant=quant)
     results = det.detect_images(args.images)
     for path, res in zip(args.images, results):
         print(path)
@@ -343,9 +415,14 @@ def cmd_export(args) -> int:
     params, batch_stats = _restore_params(cfg, args.allow_random_init,
                                           use_ema=getattr(args, "use_ema",
                                                           False))
+    quant = None
+    if cfg.quant.int8:
+        # Calibrate on the train split (needs --voc-root, like eval).
+        train_recs, _ = _load_split(cfg, args)
+        quant = _build_quant(cfg, params, batch_stats, records=train_recs)
     out = export_detector(cfg, params, args.out_dir,
                           batch_size=args.serve_batch_size,
-                          batch_stats=batch_stats)
+                          batch_stats=batch_stats, quant=quant)
     print(f"exported serving artifact -> {out}")
     return 0
 
@@ -491,6 +568,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                              "is rounded up to a multiple of N")
     p_eval.add_argument("--use-ema", action="store_true",
                         help="read the EMA-averaged weights (requires an EMA-enabled checkpoint and the matching --ema-decay)")
+    _int8_flags(p_eval)
     p_eval.set_defaults(fn=cmd_eval)
 
     p_det = sub.add_parser("detect", help="detect objects in images")
@@ -502,6 +580,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                             "checkpoint is found (smoke tests)")
     p_det.add_argument("--use-ema", action="store_true",
                         help="read the EMA-averaged weights (requires an EMA-enabled checkpoint and the matching --ema-decay)")
+    _int8_flags(p_det)
     p_det.set_defaults(fn=cmd_detect)
 
     p_exp = sub.add_parser(
@@ -515,6 +594,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                             "is found (smoke tests)")
     p_exp.add_argument("--use-ema", action="store_true",
                         help="read the EMA-averaged weights (requires an EMA-enabled checkpoint and the matching --ema-decay)")
+    _int8_flags(p_exp)
     p_exp.set_defaults(fn=cmd_export)
 
     args = parser.parse_args(argv)

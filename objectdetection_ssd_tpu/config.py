@@ -268,6 +268,26 @@ class TrainConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class QuantConfig:
+    """Post-training int8 quantization for inference/serving.
+
+    Opt-in, inference-only (the reference has no quantization story; this
+    is a TPU-added capability — the v5e MXU's int8 peak is 2x bf16).  See
+    `infer/quant.py` for the calibration + scale mechanics; training and
+    checkpoints are always f32 — the SAME checkpoint drives both modes.
+    """
+
+    int8: bool = False
+    # Images drawn from the eval/train records for activation-range
+    # calibration (batched at data.batch_size; a few dozen images is the
+    # standard PTQ recipe — ranges only widen with more data).
+    calib_images: int = 64
+    # Keep the loc/conf heads f32 (the usual PTQ accuracy recipe); flip for
+    # full-model quantization studies.
+    quantize_heads: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
 class Config:
     priors: PriorConfig = dataclasses.field(default_factory=PriorConfig)
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
@@ -277,6 +297,7 @@ class Config:
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
     optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    quant: QuantConfig = dataclasses.field(default_factory=QuantConfig)
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -45,7 +45,7 @@ def evaluate_records(config: Config, params: Any, records: List[ImageRecord],
                      detector: Optional[Detector] = None,
                      iou_sweep: bool = False,
                      pr_curves_path: Optional[str] = None,
-                     mesh=None):
+                     mesh=None, quant=None):
     """Returns (per-class AP, mAP) over ``records``.
 
     GT handling matches the reference protocol: difficult objects are
@@ -75,7 +75,7 @@ def evaluate_records(config: Config, params: Any, records: List[ImageRecord],
         detector = Detector(config, params, batch_stats,
                             postprocess_config=exact_eval_postprocess(
                                 config.postprocess),
-                            mesh=mesh)
+                            mesh=mesh, quant=quant)
     else:
         detector.params = params
         detector.batch_stats = batch_stats

@@ -24,6 +24,31 @@ from objectdetection_ssd_tpu.models.ssd import build_model
 from objectdetection_ssd_tpu.ops import priors as priors_lib
 
 
+def forward_for_postprocess(model, variables, images, priors, pp_config):
+    """Model forward -> (loc, conf, priors) ready for `postprocess`.
+
+    Shared by the live `Detector` and the AOT export path so opt-in
+    inference features behave identically in both.  With
+    ``pp_config.tta_flip`` it also runs the horizontally-mirrored image,
+    mirrors the decoded boxes back (cx -> 1-cx), re-encodes against the
+    SAME priors, and concatenates along the anchor axis — one unchanged
+    postprocess/NMS pass then merges both views' candidates (duplicate
+    detections of the same object suppress each other like any overlap).
+    """
+    loc, conf = model.apply(variables, images, train=False)
+    if pp_config.tta_flip:
+        from objectdetection_ssd_tpu.ops import boxes as box_ops
+        loc_f, conf_f = model.apply(
+            variables, images[:, :, ::-1, :], train=False)
+        b = box_ops.decode(loc_f, priors)
+        b = jnp.concatenate([1.0 - b[..., :1], b[..., 1:]], axis=-1)
+        loc_f = box_ops.encode(b, priors)
+        loc = jnp.concatenate([loc, loc_f], axis=1)
+        conf = jnp.concatenate([conf, conf_f], axis=1)
+        priors = jnp.concatenate([priors, priors], axis=0)
+    return loc, conf, priors
+
+
 class Detector:
     """Bundles model apply + postprocess into one compiled inference path."""
 
@@ -60,10 +85,15 @@ class Detector:
     def __init__(self, config: Config, params: Any,
                  batch_stats: Any = None,
                  postprocess_config: Optional[PostprocessConfig] = None,
-                 mesh=None):
+                 mesh=None, quant: Any = None):
         """``mesh``: optional `jax.sharding.Mesh` with a ``data`` axis —
         batches are sharded over it and params replicated, scaling batched
-        inference across chips the same way the train step does."""
+        inference across chips the same way the train step does.
+
+        ``quant``: optional int8-PTQ activation-scale tree from
+        `infer.quant.act_scales` — convs with an entry run int8 on the MXU
+        (see `infer/quant.py`); the f32 params are quantized at trace
+        time, so the same checkpoint drives both modes."""
         self.config = config
         self.model = build_model(config.model)
         self.params = params
@@ -72,6 +102,7 @@ class Detector:
         self.priors = jnp.asarray(
             priors_lib.priors_for_model(config.model, config.priors))
         self.mesh = mesh
+        self.quant = quant
 
         def _infer(params, batch_stats, images):
             # uint8 batches are normalized inside the model itself
@@ -80,24 +111,12 @@ class Detector:
             variables = {"params": params}
             if batch_stats is not None:
                 variables["batch_stats"] = batch_stats
-            loc, conf = self.model.apply(variables, images, train=False)
-            priors = self.priors
-            if self.pp_config.tta_flip:
-                # TTA: second forward on the horizontally-mirrored image;
-                # mirror its decoded boxes back (cx -> 1-cx) and re-encode
-                # against the SAME priors, then concatenate along the
-                # anchor axis — one postprocess/NMS pass merges the two
-                # views' candidates (duplicate detections of the same
-                # object suppress each other like any overlap).
-                from objectdetection_ssd_tpu.ops import boxes as box_ops
-                loc_f, conf_f = self.model.apply(
-                    variables, images[:, :, ::-1, :], train=False)
-                b = box_ops.decode(loc_f, priors)
-                b = jnp.concatenate([1.0 - b[..., :1], b[..., 1:]], axis=-1)
-                loc_f = box_ops.encode(b, priors)
-                loc = jnp.concatenate([loc, loc_f], axis=1)
-                conf = jnp.concatenate([conf, conf_f], axis=1)
-                priors = jnp.concatenate([priors, priors], axis=0)
+            if self.quant is not None:
+                # Scales are small scalars: baking them into the program
+                # as closure constants is fine (unlike the params).
+                variables["quant"] = self.quant
+            loc, conf, priors = forward_for_postprocess(
+                self.model, variables, images, self.priors, self.pp_config)
             return postprocess(loc, conf, priors, self.pp_config)
 
         from objectdetection_ssd_tpu.xla_options import scoped_vmem_options

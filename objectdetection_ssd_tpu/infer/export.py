@@ -41,14 +41,19 @@ _META = "meta.json"
 # 1.2: additive ``scoped_vmem_limit_kib`` hint — the measured-best TPU
 # scoped-VMEM budget for this inference graph; loaders pass it as a PJRT
 # compiler option on TPU backends (absent/0 = compiler default).
-FORMAT_VERSION = "1.2"
+# 1.3: additive ``quantized_convs`` / ``tta_flip`` descriptors — int8-PTQ
+# and TTA programs are self-contained (quantized weights and the mirrored
+# second forward are baked into the StableHLO), the fields just document
+# what the artifact is.
+FORMAT_VERSION = "1.3"
 
 
 def export_detector(config: Config, params: Any, out_dir: str,
                     batch_size: int = 8,
                     batch_stats: Any = None,
                     platforms: Optional[list] = None,
-                    input_dtype: Optional[str] = None) -> str:
+                    input_dtype: Optional[str] = None,
+                    quant: Any = None) -> str:
     """Serialize (model apply + postprocess) with weights baked in.
 
     ``platforms``: lowering platforms for the artifact (default: the current
@@ -60,6 +65,10 @@ def export_detector(config: Config, params: Any, out_dir: str,
     raw 0-255 resized pixels, 4x less host->device transfer per request;
     "float32" keeps the legacy host-normalized contract.  Recorded in
     meta.json as ``input_dtype``.
+
+    ``quant``: optional int8-PTQ act-scale tree (`infer.quant.act_scales`)
+    — the int8 weights constant-fold into the artifact, so the serving
+    host needs nothing extra.
     """
     model = build_model(config.model)
     priors = jnp.asarray(priors_lib.priors_for_model(config.model,
@@ -74,13 +83,20 @@ def export_detector(config: Config, params: Any, out_dir: str,
     frozen = jax.tree_util.tree_map(jnp.asarray, params)
     frozen_stats = (jax.tree_util.tree_map(jnp.asarray, batch_stats)
                     if batch_stats is not None else None)
+    frozen_quant = (jax.tree_util.tree_map(jnp.asarray, quant)
+                    if quant is not None else None)
 
     def serve(images):
         variables = {"params": frozen}
         if frozen_stats is not None:
             variables["batch_stats"] = frozen_stats
-        loc, conf = model.apply(variables, images, train=False)
-        dets = postprocess(loc, conf, priors, pp_cfg)
+        if frozen_quant is not None:
+            variables["quant"] = frozen_quant
+        from objectdetection_ssd_tpu.infer.detector import (
+            forward_for_postprocess)
+        loc, conf, pri = forward_for_postprocess(model, variables, images,
+                                                 priors, pp_cfg)
+        dets = postprocess(loc, conf, pri, pp_cfg)
         return dets.boxes_xyxy, dets.scores, dets.classes, dets.valid
 
     if platforms is None:
@@ -105,6 +121,9 @@ def export_detector(config: Config, params: Any, out_dir: str,
             "backbone": config.model.backbone,
             "platforms": platforms,
             "scoped_vmem_limit_kib": pp_cfg.scoped_vmem_limit_kib or 0,
+            "quantized_convs": (0 if quant is None else
+                                len(jax.tree_util.tree_leaves(quant))),
+            "tta_flip": bool(pp_cfg.tta_flip),
         }, f, indent=2)
     return out_dir
 

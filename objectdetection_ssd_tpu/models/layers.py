@@ -30,8 +30,72 @@ xavier_conv_kwargs = dict(
 )
 
 
+class Int8Conv(nn.Module):
+    """Int8 post-training-quantized conv, param-path-compatible with the
+    ``nn.Conv`` child of `TorchConv` (same ``kernel``/``bias`` names and
+    shapes, so a trained f32 checkpoint drives it unchanged).
+
+    Math (standard symmetric PTQ):
+      * weights per-OUTPUT-channel: ``s_w[c] = absmax(w[..., c]) / 127``,
+        quantized at trace time from the f32 params — under AOT export the
+        int8 weights constant-fold into the artifact;
+      * activations per-tensor with a CALIBRATED scale (`infer/quant.py`):
+        ``x_q = clip(round(x / s_a), -127, 127)``;
+      * int8 x int8 -> int32 convolution on the MXU
+        (``preferred_element_type=int32`` — v5e int8 peak is 2x bf16),
+        then one f32 rescale by ``s_a * s_w`` fused with the bias add.
+    """
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 act_scale: jnp.ndarray) -> jnp.ndarray:
+        w = self.param(
+            "kernel", self.kernel_init,
+            (self.kernel, self.kernel, x.shape[-1], self.features))
+        w = w.astype(jnp.float32)
+        s_w = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0        # (out,)
+        s_w = jnp.maximum(s_w, 1e-12)
+        w_q = jnp.clip(jnp.round(w / s_w), -127, 127).astype(jnp.int8)
+        s_a = jnp.maximum(act_scale.astype(jnp.float32), 1e-12)
+        x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_a),
+                       -127, 127).astype(jnp.int8)
+        p = self.padding
+        y = jax.lax.conv_general_dilated(
+            x_q, w_q, (self.stride, self.stride), ((p, p), (p, p)),
+            rhs_dilation=(self.dilation, self.dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (s_a * s_w)
+        if self.use_bias:
+            y = y + self.param("bias", self.bias_init,
+                               (self.features,)).astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
 class TorchConv(nn.Module):
-    """Conv2D with torch-style symmetric explicit padding and dilation."""
+    """Conv2D with torch-style symmetric explicit padding and dilation.
+
+    Quantization hooks (see `infer/quant.py`):
+      * calibration — applying the model with ``mutable=["quant_stats"]``
+        records this conv's input absmax (running max across calls, so a
+        weight-shared module applied at several taps gets ONE covering
+        scale);
+      * int8 inference — when the caller passes a ``"quant"`` variable
+        collection holding an ``act_scale`` for this module's path, the
+        conv runs as `Int8Conv` (identical param tree) instead of f32.
+        Convs whose path has no ``act_scale`` stay f32, which is how the
+        head-exclusion policy is expressed.
+    """
 
     features: int
     kernel: int = 3
@@ -45,6 +109,18 @@ class TorchConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # No-op unless the caller made "quant_stats" mutable (calibration).
+        self.sow("quant_stats", "absmax",
+                 jnp.max(jnp.abs(x.astype(jnp.float32))),
+                 init_fn=lambda: jnp.zeros(()), reduce_fn=jnp.maximum)
+        geo = dict(features=self.features, kernel=self.kernel,
+                   stride=self.stride, padding=self.padding,
+                   dilation=self.dilation, use_bias=self.use_bias,
+                   dtype=self.dtype, kernel_init=self.kernel_init,
+                   bias_init=self.bias_init)
+        if self.has_variable("quant", "act_scale"):
+            return Int8Conv(name="Conv_0", **geo)(
+                x, self.get_variable("quant", "act_scale"))
         p = self.padding
         return nn.Conv(
             features=self.features,
@@ -56,6 +132,7 @@ class TorchConv(nn.Module):
             dtype=self.dtype,
             kernel_init=self.kernel_init,
             bias_init=self.bias_init,
+            name="Conv_0",
         )(x)
 
 

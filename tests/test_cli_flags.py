@@ -128,3 +128,17 @@ def test_nms_method_flags_reach_config():
     # default: reference-parity hard NMS, untouched config
     cfg = cli.build_config(_parse(["eval"]))
     assert cfg.postprocess.nms_method == "hard"
+
+
+def test_int8_flags_reach_config():
+    args = _parse(["eval", "--int8", "--int8-calib-images", "8",
+                   "--int8-quantize-heads"])
+    cfg = cli.build_config(args)
+    assert cfg.quant.int8
+    assert cfg.quant.calib_images == 8
+    assert cfg.quant.quantize_heads
+    # default: quantization off, standard policy
+    cfg = cli.build_config(_parse(["eval"]))
+    assert not cfg.quant.int8
+    assert cfg.quant.calib_images == 64
+    assert not cfg.quant.quantize_heads

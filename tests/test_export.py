@@ -192,7 +192,7 @@ def test_artifact_carries_scoped_vmem_hint(tmp_path, small_cfg, params):
                           batch_size=1)
     with open(os.path.join(out, "meta.json")) as f:
         meta = json.load(f)
-    assert meta["format_version"] == "1.2"
+    assert meta["format_version"] == "1.3"
     assert (meta["scoped_vmem_limit_kib"]
             == small_cfg.postprocess.scoped_vmem_limit_kib)
 

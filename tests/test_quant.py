@@ -1,0 +1,217 @@
+"""Post-training int8 quantization (infer/quant.py, models/layers.py).
+
+The reference has no quantization story — this is a TPU-added serving
+capability (v5e int8 MXU peak is 2x bf16).  Tests pin: the int8 conv's
+math, the param-tree compatibility of the quant branch (a trained f32
+checkpoint drives the quantized model unchanged), calibration folding,
+the head-exclusion policy, and end-to-end closeness on the real SSD300.
+"""
+
+import dataclasses
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from objectdetection_ssd_tpu.config import Config, ModelConfig, PostprocessConfig
+from objectdetection_ssd_tpu.infer import quant as quant_lib
+from objectdetection_ssd_tpu.infer.detector import Detector
+from objectdetection_ssd_tpu.models.layers import Int8Conv, TorchConv
+from objectdetection_ssd_tpu.models.ssd import build_model
+
+
+@pytest.fixture(scope="module")
+def ssd_setup():
+    cfg = Config(
+        model=ModelConfig(backbone="vgg16"),
+        postprocess=PostprocessConfig(per_class_top_k=16, top_k=20,
+                                      use_approx_top_k=False,
+                                      anchor_prefilter=0),
+    )
+    model = build_model(cfg.model)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 300, 300, 3)))["params"]
+    rng = np.random.default_rng(7)
+    images = rng.normal(0, 0.5, (2, 300, 300, 3)).astype(np.float32)
+    return cfg, model, params, images
+
+
+def test_int8_conv_exact_on_representable_inputs():
+    """Inputs and weights already on the int8 grid round-trip losslessly:
+    the quantized conv must equal the f32 conv EXACTLY."""
+    rng = np.random.default_rng(0)
+    s_a = 0.25
+    x = (rng.integers(-127, 128, (2, 9, 9, 8)) * s_a).astype(np.float32)
+    conv = Int8Conv(features=16, kernel=3, stride=2, padding=1)
+    v = conv.init(jax.random.PRNGKey(1), jnp.asarray(x), jnp.float32(1.0))
+    # Snap the kernel to its own per-channel grid so w/s_w is integral.
+    w = np.asarray(v["params"]["kernel"], np.float64)
+    s_w = np.abs(w).max(axis=(0, 1, 2)) / 127.0
+    w = np.round(w / s_w) * s_w
+    v = {"params": {"kernel": jnp.asarray(w, jnp.float32),
+                    "bias": v["params"]["bias"]}}
+    got = conv.apply(v, jnp.asarray(x), jnp.float32(s_a))
+
+    ref = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w, jnp.float32), (2, 2),
+        ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-5)
+
+
+def test_int8_conv_clips_to_calibrated_range():
+    """Activations beyond the calibrated absmax must saturate at +-127
+    steps (symmetric PTQ), not wrap or explode."""
+    x = np.full((1, 1, 1, 1), 100.0, np.float32)
+    conv = Int8Conv(features=1, kernel=1, use_bias=False)
+    v = {"params": {"kernel": jnp.ones((1, 1, 1, 1), jnp.float32)}}
+    # act_scale for absmax=10 -> 100 clips to 127 * (10/127) = 10.
+    got = conv.apply(v, jnp.asarray(x), jnp.float32(10.0 / 127.0))
+    np.testing.assert_allclose(np.asarray(got)[0, 0, 0, 0], 10.0, rtol=1e-6)
+
+
+def test_torchconv_quant_branch_same_param_tree():
+    """The int8 branch must consume the EXACT param tree the f32 branch
+    created (Conv_0/{kernel,bias}) — that is what lets a trained f32
+    checkpoint drive the quantized model with no conversion step."""
+    conv = TorchConv(features=8, kernel=3, padding=1)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        0, 1, (2, 6, 6, 4)).astype(np.float32))
+    v = conv.init(jax.random.PRNGKey(0), x)
+    assert set(v["params"]["Conv_0"]) == {"kernel", "bias"}
+
+    f32 = conv.apply({"params": v["params"]}, x)
+    q = {"act_scale": jnp.float32(float(jnp.max(jnp.abs(x))) / 127.0)}
+    int8 = conv.apply({"params": v["params"], "quant": q}, x)
+    assert int8.shape == f32.shape
+    # ~1% of the activation std is the expected int8 rounding noise.
+    err = np.abs(np.asarray(int8) - np.asarray(f32)).max()
+    assert err < 0.05 * float(np.std(np.asarray(f32))) + 1e-4
+    # and the branch actually quantized (bit-exactness would mean the f32
+    # path ran)
+    assert err > 0
+
+
+class _TwoConv(nn.Module):
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = TorchConv(4, kernel=3, padding=1, name="a")(x)
+        x = nn.relu(x)
+        return TorchConv(2, kernel=1, name="loc_head")(x)
+
+
+def test_calibrate_folds_running_max_across_batches():
+    m = _TwoConv()
+    rng = np.random.default_rng(0)
+    b1 = rng.normal(0, 1, (2, 4, 4, 3)).astype(np.float32)
+    b2 = rng.normal(0, 3, (2, 4, 4, 3)).astype(np.float32)
+    params = m.init(jax.random.PRNGKey(0), b1)["params"]
+    stats = quant_lib.calibrate(m, params, [b1, b2])
+    expect = max(np.abs(b1).max(), np.abs(b2).max())
+    np.testing.assert_allclose(stats["a"]["absmax"], expect, rtol=1e-6)
+    # the second conv's stat is ITS input (post-relu of conv a)
+    assert stats["loc_head"]["absmax"] > 0
+
+
+def test_act_scales_policy_and_values():
+    stats = {"trunk": {"conv1_1": {"absmax": np.float32(2.54)}},
+             "loc_head_0": {"absmax": np.float32(1.0)},
+             "conf_t4": {"absmax": np.float32(1.0)}}
+    q = quant_lib.act_scales(stats)
+    assert quant_lib.count_quantized(q) == 1          # heads excluded
+    np.testing.assert_allclose(q["trunk"]["conv1_1"]["act_scale"],
+                               2.54 / 127.0, rtol=1e-6)
+    q_all = quant_lib.act_scales(stats, quantize_heads=True)
+    assert quant_lib.count_quantized(q_all) == 3
+
+
+def test_ssd300_int8_forward_tracks_f32(ssd_setup):
+    """End-to-end: the quantized SSD300's raw outputs must track the f32
+    model closely (random init; the rehearsal measures trained-model mAP
+    deltas on hardware — benchmarks/RESULTS.md)."""
+    cfg, model, params, images = ssd_setup
+    stats = quant_lib.calibrate(model, params, [images])
+    qtree = quant_lib.act_scales(stats)
+    assert quant_lib.count_quantized(qtree) == 23     # all non-head convs
+    # (VGG: 13 stage convs + atrous fc6/fc7; extras: 4 x 2 pyramid convs)
+
+    loc_f, conf_f = model.apply({"params": params}, jnp.asarray(images))
+    loc_q, conf_q = model.apply({"params": params, "quant": qtree},
+                                jnp.asarray(images))
+    # int8 noise accumulates through 15 quantized VGG convs; "tracks"
+    # means high correlation and small error relative to the signal.
+    for f, q in ((loc_f, loc_q), (conf_f, conf_q)):
+        f, q = np.asarray(f).ravel(), np.asarray(q).ravel()
+        assert np.corrcoef(f, q)[0, 1] > 0.99
+        assert np.abs(f - q).mean() < 0.1 * np.std(f)
+
+
+def test_detector_quant_and_export_roundtrip(tmp_path, ssd_setup):
+    """Detector(quant=...) and the int8 serving artifact must agree with
+    each other; the artifact records its quantization in meta.json."""
+    from objectdetection_ssd_tpu.infer.export import (ExportedDetector,
+                                                      export_detector)
+    cfg, model, params, images = ssd_setup
+    stats = quant_lib.calibrate(model, params, [images])
+    qtree = quant_lib.act_scales(stats)
+
+    live = Detector(cfg, params, quant=qtree)
+    d_live = live.detect_batch(jnp.asarray(images))
+    assert np.asarray(d_live.scores).shape == (2, cfg.postprocess.top_k)
+
+    out = export_detector(cfg, params, str(tmp_path / "artifact"),
+                          batch_size=2, input_dtype="float32", quant=qtree)
+    served = ExportedDetector(out)
+    d_srv = served(images)
+    np.testing.assert_array_equal(np.asarray(d_live.valid),
+                                  np.asarray(d_srv.valid))
+    np.testing.assert_allclose(np.asarray(d_live.scores),
+                               np.asarray(d_srv.scores), rtol=1e-5,
+                               atol=1e-7)
+    assert served.meta["quantized_convs"] == 23
+    assert served.meta["tta_flip"] is False
+
+
+def test_quant_noop_for_training_collections():
+    """Without a mutable quant_stats collection and without a quant tree,
+    TorchConv must behave exactly as before (the sow is a no-op) — the
+    train path is untouched by the quantization hooks."""
+    conv = TorchConv(features=4, kernel=3, padding=1)
+    x = jnp.asarray(np.random.default_rng(1).normal(
+        0, 1, (1, 5, 5, 2)).astype(np.float32))
+    v = conv.init(jax.random.PRNGKey(0), x)
+    y, grads = jax.value_and_grad(
+        lambda p: conv.apply({"params": p}, x).sum())(v["params"])
+    assert np.isfinite(float(y))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree_util.tree_leaves(grads))
+
+
+def test_ssd_resnet34_int8_forward_tracks_f32():
+    """The second model family quantizes through the same hooks: BN convs
+    (no bias), the weight-shared stride-2 neck (one covering scale from
+    the running-max sow), and the loc/conf heads excluded by the same
+    path policy."""
+    cfg = Config(model=ModelConfig(backbone="resnet34", image_size=224))
+    model = build_model(cfg.model)
+    rng = np.random.default_rng(3)
+    images = rng.normal(0, 0.5, (1, 224, 224, 3)).astype(np.float32)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
+    params, bstats = v["params"], v.get("batch_stats")
+    stats = quant_lib.calibrate(model, params, [images], batch_stats=bstats)
+    qtree = quant_lib.act_scales(stats)
+    assert quant_lib.count_quantized(qtree) > 30      # trunk + neck convs
+    # no head conv quantized
+    assert "conf_t4" not in qtree
+    assert "conv" not in qtree.get("loc_t4", {})
+
+    variables = {"params": params, "batch_stats": bstats}
+    loc_f, conf_f = model.apply(variables, jnp.asarray(images))
+    loc_q, conf_q = model.apply(dict(variables, quant=qtree),
+                                jnp.asarray(images))
+    for f, q in ((loc_f, loc_q), (conf_f, conf_q)):
+        f, q = np.asarray(f).ravel(), np.asarray(q).ravel()
+        assert np.corrcoef(f, q)[0, 1] > 0.99
+        assert np.abs(f - q).mean() < 0.1 * np.std(f)
