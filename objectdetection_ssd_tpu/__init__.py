@@ -13,7 +13,7 @@ from objectdetection_ssd_tpu.config import (BACKGROUND_CLASS, CLASS_TO_ID,
                                             Config, DataConfig, LossConfig,
                                             ModelConfig, OptimConfig,
                                             PostprocessConfig, PriorConfig,
-                                            TrainConfig)
+                                            QuantConfig, TrainConfig)
 from objectdetection_ssd_tpu.infer.postprocess import (Detections,
                                                         postprocess,
                                                         scale_detections)
