@@ -110,8 +110,13 @@ class TorchConv(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # No-op unless the caller made "quant_stats" mutable (calibration).
-        self.sow("quant_stats", "absmax",
-                 jnp.max(jnp.abs(x.astype(jnp.float32))),
+        # Degenerate-geometry models (tiny image sizes where a VALID
+        # pyramid conv sees a zero-sized input) still initialize: max over
+        # an empty array is a ValueError, so sow 0 for them (static shape
+        # check, free at trace time).
+        absmax = (jnp.max(jnp.abs(x.astype(jnp.float32)))
+                  if x.size else jnp.zeros(()))
+        self.sow("quant_stats", "absmax", absmax,
                  init_fn=lambda: jnp.zeros(()), reduce_fn=jnp.maximum)
         geo = dict(features=self.features, kernel=self.kernel,
                    stride=self.stride, padding=self.padding,
