@@ -205,6 +205,15 @@ def _int8_flags(p: argparse.ArgumentParser):
                         "them f32 — the usual PTQ accuracy recipe)")
 
 
+def _eval_weights(state):
+    """Weights the in-training mAP eval (--eval-map-every) scores: the EMA
+    average when --ema-decay is on — those are the weights the run will
+    serve (--use-ema on eval/detect/export), so the progress metric tracks
+    the deployable model — raw params otherwise."""
+    return (state.ema_params if getattr(state, "ema_params", None) is not None
+            else state.params)
+
+
 def _load_split(cfg: config_lib.Config, args):
     from objectdetection_ssd_tpu.data import synthetic, voc
     if args.synthetic:
@@ -296,7 +305,7 @@ def cmd_train(args) -> int:
         def epoch_callback(epoch, trainer):
             if (epoch + 1) % args.eval_map_every:
                 return
-            params = trainer.state.params
+            params = _eval_weights(trainer.state)
             stats = trainer.state.batch_stats
             if jax.process_count() > 1:
                 # Primary-only side eval on multi-host.  ALL processes

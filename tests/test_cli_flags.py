@@ -142,3 +142,14 @@ def test_int8_flags_reach_config():
     assert not cfg.quant.int8
     assert cfg.quant.calib_images == 64
     assert not cfg.quant.quantize_heads
+
+
+def test_eval_map_every_scores_ema_weights_when_enabled():
+    """--eval-map-every must score the weights the run will SERVE: the EMA
+    average when --ema-decay is on, raw params otherwise."""
+    class _S:
+        params = {"w": 1}
+        ema_params = {"w": 2}
+    assert cli._eval_weights(_S()) == {"w": 2}
+    _S.ema_params = None
+    assert cli._eval_weights(_S()) == {"w": 1}
