@@ -164,12 +164,14 @@ class PostprocessConfig:
     # this unrolled-XLA path — benchmarks/RESULTS.md "Pallas NMS".)
     nms_unrolled: bool = True
     # Test-time augmentation: also run the horizontally-flipped image
-    # through the model, mirror its decoded boxes back, and let ONE NMS
-    # pass merge both views' candidates (the anchor axis doubles; the
-    # mirrored view's predictions are re-encoded against the same priors
-    # so every postprocess stage is unchanged).  Opt-in — it costs a
-    # second forward per image, and the reference has no TTA (its flip is
-    # train-time only, `Dataset.py` via `transforms`).
+    # through the model and merge the two views.  On mirror-symmetric
+    # anchor grids (both real model families) the views are AVERAGED
+    # per-anchor (flip-averaged TTA — variance reduction with no
+    # duplicate-FP risk); on asymmetric/custom grids it falls back to the
+    # classic candidate-union + one NMS pass.  See
+    # infer/detector.py:forward_for_postprocess for the measured
+    # rationale.  Opt-in — it costs a second forward per image, and the
+    # reference has no TTA (its flip is train-time only, `Dataset.py`).
     tta_flip: bool = False
 
 

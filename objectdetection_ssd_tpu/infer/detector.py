@@ -24,16 +24,50 @@ from objectdetection_ssd_tpu.models.ssd import build_model
 from objectdetection_ssd_tpu.ops import priors as priors_lib
 
 
+def mirror_permutation(priors_np: np.ndarray):
+    """``perm[i]`` = index of the prior at the horizontally-mirrored
+    position ``(1-cx, cy, w, h)``, or None when the set has no exact
+    mirror partner for every anchor.
+
+    The real anchor grids are mirror-symmetric by construction (SSD300
+    cell centers are ``(i+0.5)/f_k`` with cell-independent shapes,
+    `ops/priors.py`; same for the resnet34 zoom/ratio grid), which is what
+    makes flip-AVERAGED TTA possible.  Matching is done in exact integer
+    arithmetic (1e-5 quantization) so float noise degrades to the union
+    fallback instead of mispairing."""
+    k = np.rint(np.asarray(priors_np, np.float64) * 1e5).astype(np.int64)
+    index = {tuple(row): i for i, row in enumerate(k)}
+    perm = np.empty(len(k), np.int32)
+    for i, (cx, cy, w, h) in enumerate(k):
+        j = index.get((100000 - cx, cy, w, h))
+        if j is None:
+            return None
+        perm[i] = j
+    return perm
+
+
 def forward_for_postprocess(model, variables, images, priors, pp_config):
     """Model forward -> (loc, conf, priors) ready for `postprocess`.
 
     Shared by the live `Detector` and the AOT export path so opt-in
     inference features behave identically in both.  With
-    ``pp_config.tta_flip`` it also runs the horizontally-mirrored image,
-    mirrors the decoded boxes back (cx -> 1-cx), re-encodes against the
-    SAME priors, and concatenates along the anchor axis — one unchanged
-    postprocess/NMS pass then merges both views' candidates (duplicate
-    detections of the same object suppress each other like any overlap).
+    ``pp_config.tta_flip`` it also runs the horizontally-mirrored image
+    and mirrors its decoded boxes back (cx -> 1-cx), then merges the two
+    views:
+
+      * **flip-averaged** (when the anchor grid is mirror-symmetric —
+        both real model families are): each anchor's mirrored-view
+        prediction is realigned to its mirror-partner anchor and the two
+        views' boxes/logits are AVERAGED.  Pure variance reduction — no
+        candidate doubling, so no duplicate-FP risk (measured: union TTA
+        cost a saturated toy detector ~0.09 mAP via cross-view duplicates
+        whose IoU fell below the NMS threshold; averaging is neutral on
+        saturated models and still recovers single-view misses at reduced
+        confidence).
+      * **union fallback** (asymmetric/custom grids): both views'
+        candidates concatenate along the anchor axis and one NMS pass
+        dedups them — the classic TTA formulation; best for recall, can
+        add duplicate FPs.
     """
     loc, conf = model.apply(variables, images, train=False)
     if pp_config.tta_flip:
@@ -42,10 +76,22 @@ def forward_for_postprocess(model, variables, images, priors, pp_config):
             variables, images[:, :, ::-1, :], train=False)
         b = box_ops.decode(loc_f, priors)
         b = jnp.concatenate([1.0 - b[..., :1], b[..., 1:]], axis=-1)
-        loc_f = box_ops.encode(b, priors)
-        loc = jnp.concatenate([loc, loc_f], axis=1)
-        conf = jnp.concatenate([conf, conf_f], axis=1)
-        priors = jnp.concatenate([priors, priors], axis=0)
+        try:
+            perm = mirror_permutation(np.asarray(priors))
+        except Exception:          # traced priors: symmetry unknowable
+            perm = None
+        if perm is not None:
+            b = b[:, perm]                       # realign to direct anchors
+            conf_f = conf_f[:, perm]
+            b_avg = (box_ops.decode(loc, priors) + b) * 0.5
+            loc = box_ops.encode(b_avg, priors)
+            conf = ((conf.astype(jnp.float32)
+                     + conf_f.astype(jnp.float32)) * 0.5).astype(conf.dtype)
+        else:
+            loc_f = box_ops.encode(b, priors)
+            loc = jnp.concatenate([loc, loc_f], axis=1)
+            conf = jnp.concatenate([conf, conf_f], axis=1)
+            priors = jnp.concatenate([priors, priors], axis=0)
     return loc, conf, priors
 
 
