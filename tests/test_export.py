@@ -359,3 +359,31 @@ def test_http_serving_dynamic_batching(tmp_path, small_cfg, params):
                 assert set(d) == {"box_xyxy", "label", "score"}
     finally:
         server.shutdown()
+
+
+def test_export_tta_artifact_matches_live(tmp_path, small_cfg, params):
+    """--tta-flip must be honored by the AOT artifact: the mirrored second
+    forward is baked into the StableHLO (via the shared
+    forward_for_postprocess), so served TTA detections == live TTA
+    detections, and meta.json records the mode."""
+    import dataclasses
+    cfg = small_cfg.replace(postprocess=dataclasses.replace(
+        small_cfg.postprocess, tta_flip=True))
+    out = export_detector(cfg, params, str(tmp_path / "artifact"),
+                          batch_size=1, input_dtype="float32")
+    served = ExportedDetector(out)
+    assert served.meta["tta_flip"] is True
+    live = Detector(cfg, params)
+
+    images = np.random.default_rng(5).normal(
+        0, 0.5, (1, 300, 300, 3)).astype(np.float32)
+    d_live = live.detect_batch(jnp.asarray(images))
+    d_srv = served(images)
+    np.testing.assert_array_equal(np.asarray(d_live.valid),
+                                  np.asarray(d_srv.valid))
+    np.testing.assert_allclose(np.asarray(d_live.scores),
+                               np.asarray(d_srv.scores), rtol=1e-5,
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(d_live.boxes_xyxy),
+                               np.asarray(d_srv.boxes_xyxy), rtol=1e-4,
+                               atol=1e-6)
