@@ -250,3 +250,31 @@ def test_tta_flip_recovers_mirror_only_detection(monkeypatch):
     j = int(np.argmax(out_m.valid[0]))
     np.testing.assert_allclose(out_m.boxes_xyxy[0, j],
                                [0.15, 0.4, 0.35, 0.6], atol=1e-5)
+
+
+def test_mirror_permutation_real_grids():
+    """The flip-AVERAGED TTA mode depends on the real anchor grids being
+    mirror-symmetric; pin that property (and its known edge: the resnet34
+    set contains one exactly-duplicated (0.5,0.5,1,1) prior, whose twin
+    is an identical anchor, so pairing either is correct)."""
+    from objectdetection_ssd_tpu.infer.detector import mirror_permutation
+    from objectdetection_ssd_tpu.ops.priors import (resnet34_priors,
+                                                    ssd300_priors)
+    p = np.asarray(ssd300_priors())
+    perm = mirror_permutation(p)
+    assert perm is not None
+    assert np.all(perm[perm] == np.arange(len(p)))       # true involution
+    m = p[perm]
+    np.testing.assert_allclose(m[:, 0], 1.0 - p[:, 0], atol=1e-6)
+    np.testing.assert_allclose(m[:, 1:], p[:, 1:], atol=1e-6)
+
+    r = np.asarray(resnet34_priors())
+    perm_r = mirror_permutation(r)
+    assert perm_r is not None
+    m = r[perm_r]
+    np.testing.assert_allclose(m[:, 0], 1.0 - r[:, 0], atol=1e-6)
+    np.testing.assert_allclose(m[:, 1:], r[:, 1:], atol=1e-6)
+
+    # asymmetric grid -> None (the union fallback)
+    assert mirror_permutation(
+        np.asarray([[0.25, 0.5, 0.2, 0.2]], np.float32)) is None
