@@ -185,3 +185,40 @@ def test_fsdp_memory_footprint_is_sharded():
     xs = jax.device_put(x, mesh_lib.fsdp_sharding_for(x, mesh))
     shard = xs.addressable_shards[0]
     assert shard.data.size == x.size // mesh.shape["fsdp"]
+
+
+def test_fsdp_ema_shards_and_matches_single_device():
+    """EMA rides the TrainState pytree, so under FSDP its leaves shard
+    exactly like the params (state_fsdp_shardings tree-maps the WHOLE
+    state) and the averaged values equal the single-device run."""
+    model = TinySSD()
+    priors = _tiny_priors()
+    batch = _tiny_batch(bs=8)
+    state = create_train_state(
+        model, jax.random.PRNGKey(1), batch["images"][:1],
+        OptimConfig(lr=0.01, use_lr_schedule=False), ema=True)
+
+    d = 0.9
+    single_step, _ = loop_lib.make_jitted_steps(priors, LossConfig(),
+                                                mesh=None, donate=False,
+                                                ema_decay=d)
+    s1, _ = single_step(state, batch)
+
+    mesh = _fsdp_mesh()
+    shardings = mesh_lib.state_fsdp_shardings(state, mesh)
+    # at least one EMA slot is genuinely sharded over fsdp
+    some_sharded = any(
+        s.spec != P() for s in jax.tree_util.tree_leaves(
+            shardings.ema_params)
+        if hasattr(s, "spec"))
+    assert some_sharded, "no EMA leaf picked up an fsdp sharding"
+    state_f = jax.device_put(state, shardings)
+    fsdp_step, _ = loop_lib.make_jitted_steps(
+        priors, LossConfig(), mesh=mesh, donate=False,
+        state_sharding=shardings, ema_decay=d)
+    s2, _ = fsdp_step(state_f, mesh_lib.shard_batch(batch, mesh))
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6),
+        jax.device_get(s1.ema_params), jax.device_get(s2.ema_params))
