@@ -215,3 +215,18 @@ def test_ssd_resnet34_int8_forward_tracks_f32():
         f, q = np.asarray(f).ravel(), np.asarray(q).ravel()
         assert np.corrcoef(f, q)[0, 1] > 0.99
         assert np.abs(f - q).mean() < 0.1 * np.std(f)
+
+
+def test_int8_composes_with_tta_flip(ssd_setup):
+    """int8 and TTA are independent opt-ins that must compose: the
+    mirrored second forward runs through the same quantized convs (the
+    shared `variables` carry the quant collection into both views)."""
+    cfg, model, params, images = ssd_setup
+    stats = quant_lib.calibrate(model, params, [images])
+    qtree = quant_lib.act_scales(stats)
+    pp = dataclasses.replace(cfg.postprocess, tta_flip=True)
+    det = Detector(cfg, params, postprocess_config=pp, quant=qtree)
+    out = jax.device_get(det.detect_batch(jnp.asarray(images)))
+    assert out.scores.shape == (2, cfg.postprocess.top_k)
+    assert np.isfinite(out.scores).all()
+    assert np.isfinite(out.boxes_xyxy).all()
