@@ -140,6 +140,8 @@ def build_config(args) -> config_lib.Config:
         q_kw["calib_images"] = args.int8_calib_images
     if getattr(args, "int8_quantize_heads", False):
         q_kw["quantize_heads"] = True
+    if getattr(args, "qat", False):
+        q_kw["qat"] = True
     if q_kw:
         cfg = cfg.replace(quant=dataclasses.replace(cfg.quant, **q_kw))
     return cfg
@@ -351,6 +353,17 @@ def cmd_train(args) -> int:
                       init_batch_stats=init_batch_stats)
     if args.resume:
         trainer.maybe_resume()
+    if cfg.quant.qat:
+        # Calibrate AFTER init/resume (the scales must describe the weights
+        # being fine-tuned), then rebuild the steps with fake-quant convs.
+        import dataclasses as _dc
+        qcfg = cfg.replace(quant=_dc.replace(cfg.quant, int8=True))
+        qtree = _build_quant(
+            qcfg, jax.device_get(trainer.state.params),
+            (jax.device_get(trainer.state.batch_stats)
+             if trainer.state.batch_stats is not None else None),
+            records=train_recs)
+        trainer.enable_qat(qtree)
     trainer.fit(profile_dir=args.profile_dir)
     return 0
 
@@ -539,6 +552,14 @@ def main(argv: Optional[List[str]] = None) -> int:
                               "5=whole trunk) when fine-tuning from "
                               "pretrained weights; frozen stages skip "
                               "their backward pass entirely")
+    p_train.add_argument("--qat", action="store_true",
+                         help="quantization-aware fine-tuning: calibrate "
+                              "int8 activation scales on the current "
+                              "weights, then train through fake-quant "
+                              "convs (straight-through estimator) so the "
+                              "checkpoint serves --int8 at ~no accuracy "
+                              "cost (calibration size/heads policy from "
+                              "QuantConfig)")
     p_train.add_argument("--init-torch-vgg16", default=None,
                          help="initialize the VGG trunk from a torchvision "
                               "vgg16 state_dict/.pth (the reference's "

@@ -287,6 +287,12 @@ class QuantConfig:
     # Keep the loc/conf heads f32 (the usual PTQ accuracy recipe); flip for
     # full-model quantization studies.
     quantize_heads: bool = False
+    # Quantization-aware fine-tuning (`train --qat`): calibrate on the
+    # current weights, then train through the differentiable fake-quant
+    # path (straight-through estimator) so the checkpoint serves int8 with
+    # the same scales at ~no accuracy cost.  Uses calib_images /
+    # quantize_heads above for the calibration pass.
+    qat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -30,6 +30,12 @@ xavier_conv_kwargs = dict(
 )
 
 
+def _ste_round(x: jnp.ndarray) -> jnp.ndarray:
+    """Round with a straight-through gradient (identity VJP) — the
+    standard QAT estimator for the zero-gradient rounding step."""
+    return x + jax.lax.stop_gradient(jnp.round(x) - x)
+
+
 class Int8Conv(nn.Module):
     """Int8 post-training-quantized conv, param-path-compatible with the
     ``nn.Conv`` child of `TorchConv` (same ``kernel``/``bias`` names and
@@ -44,6 +50,14 @@ class Int8Conv(nn.Module):
       * int8 x int8 -> int32 convolution on the MXU
         (``preferred_element_type=int32`` — v5e int8 peak is 2x bf16),
         then one f32 rescale by ``s_a * s_w`` fused with the bias add.
+
+    ``straight_through=True`` is the QAT (quantization-aware training)
+    mode: the SAME quantization math expressed differentiably — values are
+    fake-quantized in f32 (``ste_round(clip(v/s)) * s``, identical numbers
+    to the int8 path up to f32 rounding) and the conv runs f32 so the
+    rounding passes gradients straight through while clip saturation
+    zeroes them (standard STE).  Scales are stop-gradiented (treated as
+    calibrated constants).
     """
 
     features: int
@@ -55,6 +69,7 @@ class Int8Conv(nn.Module):
     dtype: Dtype = jnp.float32
     kernel_init: Callable = nn.initializers.lecun_normal()
     bias_init: Callable = nn.initializers.zeros
+    straight_through: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -65,17 +80,27 @@ class Int8Conv(nn.Module):
         w = w.astype(jnp.float32)
         s_w = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0        # (out,)
         s_w = jnp.maximum(s_w, 1e-12)
-        w_q = jnp.clip(jnp.round(w / s_w), -127, 127).astype(jnp.int8)
         s_a = jnp.maximum(act_scale.astype(jnp.float32), 1e-12)
-        x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_a),
-                       -127, 127).astype(jnp.int8)
         p = self.padding
-        y = jax.lax.conv_general_dilated(
-            x_q, w_q, (self.stride, self.stride), ((p, p), (p, p)),
+        conv_kw = dict(
+            window_strides=(self.stride, self.stride),
+            padding=((p, p), (p, p)),
             rhs_dilation=(self.dilation, self.dilation),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.int32)
-        y = y.astype(jnp.float32) * (s_a * s_w)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.straight_through:
+            s_w = jax.lax.stop_gradient(s_w)
+            s_a = jax.lax.stop_gradient(s_a)
+            w_fq = _ste_round(jnp.clip(w / s_w, -127, 127)) * s_w
+            x_fq = _ste_round(jnp.clip(x.astype(jnp.float32) / s_a,
+                                       -127, 127)) * s_a
+            y = jax.lax.conv_general_dilated(x_fq, w_fq, **conv_kw)
+        else:
+            w_q = jnp.clip(jnp.round(w / s_w), -127, 127).astype(jnp.int8)
+            x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_a),
+                           -127, 127).astype(jnp.int8)
+            y = jax.lax.conv_general_dilated(
+                x_q, w_q, preferred_element_type=jnp.int32, **conv_kw)
+            y = y.astype(jnp.float32) * (s_a * s_w)
         if self.use_bias:
             y = y + self.param("bias", self.bias_init,
                                (self.features,)).astype(jnp.float32)
@@ -126,6 +151,11 @@ class TorchConv(nn.Module):
         if self.has_variable("quant", "act_scale"):
             return Int8Conv(name="Conv_0", **geo)(
                 x, self.get_variable("quant", "act_scale"))
+        if self.has_variable("quant_ste", "act_scale"):
+            # QAT: same scales under a different collection name select the
+            # differentiable fake-quant path (see infer/quant.py).
+            return Int8Conv(name="Conv_0", straight_through=True, **geo)(
+                x, self.get_variable("quant_ste", "act_scale"))
         p = self.padding
         return nn.Conv(
             features=self.features,

@@ -23,13 +23,19 @@ from objectdetection_ssd_tpu.losses.multibox import multibox_loss
 from objectdetection_ssd_tpu.train.state import TrainState
 
 
-def _forward(state: TrainState, params, batch, priors, rng, train: bool):
+def _forward(state: TrainState, params, batch, priors, rng, train: bool,
+             quant_ste=None):
     """Model apply handling optional BN stats / dropout rngs.
 
     uint8 image batches (the default transfer dtype) are normalized here so
     ANY model — including custom modules injected into the Trainer — sees
     ImageNet-normalized floats; float batches pass through untouched (our
     models' own `prepare_input` is a float no-op then).
+
+    ``quant_ste``: optional int8 act-scale tree (`infer.quant.act_scales`)
+    — convs with an entry train through the differentiable fake-quant path
+    (QAT; `models/layers.py:Int8Conv(straight_through=True)`), so the
+    fine-tuned weights serve int8 with the SAME scales at ~no mAP cost.
     """
     from objectdetection_ssd_tpu.models.ssd import prepare_input
     batch = dict(batch)
@@ -37,6 +43,8 @@ def _forward(state: TrainState, params, batch, priors, rng, train: bool):
     variables = {"params": params}
     if state.batch_stats is not None:
         variables["batch_stats"] = state.batch_stats
+    if quant_ste is not None:
+        variables["quant_ste"] = quant_ste
     kwargs = {}
     if train:
         kwargs["rngs"] = {"dropout": rng}
@@ -54,7 +62,7 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                priors: jnp.ndarray,
                loss_config: LossConfig = LossConfig(),
                seed: int = 0, remat: bool = False,
-               ema_decay: float = 0.0
+               ema_decay: float = 0.0, quant_ste=None
                ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One SGD step; returns (new_state, metrics).
 
@@ -70,7 +78,7 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
 
     def loss_fn(params):
         fwd = lambda p: _forward(state, p, batch, priors, rng,  # noqa: E731
-                                 train=True)
+                                 train=True, quant_ste=quant_ste)
         if remat:
             from objectdetection_ssd_tpu.models.backbones import \
                 VGG_STAGE_CKPT
@@ -116,12 +124,12 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
 
 def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray],
               priors: jnp.ndarray,
-              loss_config: LossConfig = LossConfig()
-              ) -> Dict[str, jnp.ndarray]:
+              loss_config: LossConfig = LossConfig(),
+              quant_ste=None) -> Dict[str, jnp.ndarray]:
     """Loss-only eval step (the reference's 'test' phase,
     `train_function.py:47-52`)."""
     loc, conf, _ = _forward(state, state.params, batch, priors,
-                            rng=None, train=False)
+                            rng=None, train=False, quant_ste=quant_ste)
     loss = multibox_loss(loc.astype(jnp.float32), conf.astype(jnp.float32),
                          batch["boxes"], batch["classes"],
                          batch["mask"], priors, loss_config)
@@ -148,7 +156,7 @@ def make_jitted_steps(priors: jnp.ndarray, loss_config: LossConfig,
                       seed: int = 0, state_sharding=None,
                       remat: bool = False,
                       scoped_vmem_limit_kib: Optional[int] = None,
-                      ema_decay: float = 0.0):
+                      ema_decay: float = 0.0, quant_ste=None):
     """Compile train/eval steps, optionally with explicit mesh shardings.
 
     With a mesh: batch arrays are sharded over the ``data`` axis, state is
@@ -163,11 +171,15 @@ def make_jitted_steps(priors: jnp.ndarray, loss_config: LossConfig,
     ``scoped_vmem_limit_kib``: see `train_compiler_options` (train step
     only; no-op on CPU).
     """
+    # quant_ste scales are small scalars: closure-baking them as program
+    # constants is fine (unlike params — CLAUDE.md "Hard-won rules").
     t_step = functools.partial(train_step, priors=priors,
                                loss_config=loss_config, seed=seed,
-                               remat=remat, ema_decay=ema_decay)
+                               remat=remat, ema_decay=ema_decay,
+                               quant_ste=quant_ste)
     e_step = functools.partial(eval_step, priors=priors,
-                               loss_config=loss_config)
+                               loss_config=loss_config,
+                               quant_ste=quant_ste)
     copts = train_compiler_options(scoped_vmem_limit_kib)
     if mesh is None:
         return (jax.jit(t_step, donate_argnums=(0,) if donate else (),

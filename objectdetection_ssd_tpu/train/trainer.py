@@ -110,12 +110,8 @@ class Trainer:
         else:
             self.state = mesh_lib.replicate(self.state, self.mesh)
 
-        self.train_step, self.eval_step = loop_lib.make_jitted_steps(
-            self.priors, config.loss, mesh=self.mesh,
-            donate=config.train.donate_state, seed=config.train.seed,
-            state_sharding=state_sharding, remat=config.train.remat,
-            scoped_vmem_limit_kib=config.train.scoped_vmem_limit_kib,
-            ema_decay=config.train.ema_decay)
+        self._state_sharding = state_sharding
+        self._build_steps()
         self.ckpt = CheckpointManager(
             config.train.checkpoint_dir,
             max_to_keep=config.train.max_checkpoints_to_keep)
@@ -129,6 +125,29 @@ class Trainer:
         if config.train.tensorboard_dir and jax.process_index() == 0:
             from objectdetection_ssd_tpu.utils.metrics import TensorBoardWriter
             self.tb = TensorBoardWriter(config.train.tensorboard_dir)
+
+    def _build_steps(self, quant_ste=None) -> None:
+        cfg = self.config
+        self.train_step, self.eval_step = loop_lib.make_jitted_steps(
+            self.priors, cfg.loss, mesh=self.mesh,
+            donate=cfg.train.donate_state, seed=cfg.train.seed,
+            state_sharding=self._state_sharding, remat=cfg.train.remat,
+            scoped_vmem_limit_kib=cfg.train.scoped_vmem_limit_kib,
+            ema_decay=cfg.train.ema_decay, quant_ste=quant_ste)
+
+    def enable_qat(self, quant_ste) -> None:
+        """Rebuild the jitted steps with QAT fake-quant convs.
+
+        ``quant_ste``: act-scale tree from `infer.quant.act_scales` —
+        calibrate AFTER pretrained-init/resume so the scales describe the
+        weights actually being fine-tuned (cli.py does this ordering).
+        Training then runs every calibrated conv through the
+        straight-through fake-quant path (`models/layers.py:Int8Conv`), so
+        the fine-tuned checkpoint serves int8 with the SAME scales at ~no
+        accuracy cost (the CI recovery test pins this)."""
+        import jax.numpy as jnp
+        self._build_steps(quant_ste=jax.tree_util.tree_map(
+            jnp.asarray, quant_ste))
 
     def maybe_resume(self) -> bool:
         """Resume from the latest checkpoint if one exists

@@ -240,3 +240,69 @@ def test_inference_variants_preserve_trained_map(tmp_path):
     assert m_soft > base - 0.05, (base, m_soft)
     print(json.dumps({"base": base, "int8": m_int8, "tta": m_tta,
                       "soft_nms": m_soft}))
+
+
+@pytest.mark.slow
+def test_qat_recovers_int8_accuracy(tmp_path):
+    """Quantization-aware fine-tuning must close the PTQ accuracy gap:
+    train f32, quantize EVERYTHING (heads included, the harsher setting),
+    then fine-tune through the fake-quant path with the SAME scales — the
+    served int8 mAP must recover to ~the f32 baseline."""
+    from objectdetection_ssd_tpu.infer import quant as quant_lib
+    from objectdetection_ssd_tpu.models.ssd import prepare_input
+
+    synthetic.generate_voc(str(tmp_path), num_2007=40, num_2012=8,
+                           image_size=(96, 96), max_objects=2, seed=9,
+                           difficult_fraction=0.0,
+                           num_classes=NUM_FIXTURE_CLASSES,
+                           class_color_coding=True)
+    records = voc.load_records(str(tmp_path), train=True)
+    cfg = DataConfig(batch_size=16, num_workers=0, max_boxes=4,
+                     augment=False)
+    loader = Loader(records, cfg, image_size=IMG, train=True, seed=0)
+    eval_loader = Loader(records, cfg, image_size=IMG, train=False)
+
+    priors = _priors()
+    model = SmallDetQ()
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 3)),
+        OptimConfig(lr=0.01, use_lr_schedule=False))
+    loss_cfg = LossConfig(match_iou_threshold=0.4)
+    step_fn, _ = loop_lib.make_jitted_steps(priors, loss_cfg, mesh=None,
+                                            donate=False)
+    for epoch in range(70):
+        for batch in loader.epoch(epoch):
+            batch = {k: v for k, v in batch.items() if k != "image_ids"}
+            state, _ = step_fn(state, batch)
+
+    pp = PostprocessConfig(per_class_top_k=32, top_k=10,
+                           score_threshold=0.3, use_approx_top_k=False)
+    base = _map_variant(model, state.params, eval_loader, priors, pp)
+    assert base > 0.6, base
+
+    batches = [np.asarray(prepare_input(jnp.asarray(b["images"]),
+                                        jnp.float32))
+               for b in eval_loader.epoch(0)]
+    qtree = jax.tree_util.tree_map(jnp.asarray, quant_lib.act_scales(
+        quant_lib.calibrate(model, state.params, batches),
+        quantize_heads=True))
+    m_before = _map_variant(model, state.params, eval_loader, priors, pp,
+                            quant=qtree)
+
+    # QAT fine-tune with the SAME scales (train/loop.py quant_ste path).
+    qat_step, _ = loop_lib.make_jitted_steps(priors, loss_cfg, mesh=None,
+                                             donate=False, quant_ste=qtree)
+    for epoch in range(30):
+        for batch in loader.epoch(100 + epoch):
+            batch = {k: v for k, v in batch.items() if k != "image_ids"}
+            state, metrics = qat_step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+    m_after = _map_variant(model, state.params, eval_loader, priors, pp,
+                           quant=qtree)
+    print(json.dumps({"base_f32": base, "int8_before_qat": m_before,
+                      "int8_after_qat": m_after}))
+    # served-int8 after QAT recovers to ~the f32 baseline and never
+    # regresses vs pre-QAT PTQ
+    assert m_after > base - 0.02, (base, m_before, m_after)
+    assert m_after >= m_before - 0.005, (m_before, m_after)

@@ -230,3 +230,83 @@ def test_int8_composes_with_tta_flip(ssd_setup):
     assert out.scores.shape == (2, cfg.postprocess.top_k)
     assert np.isfinite(out.scores).all()
     assert np.isfinite(out.boxes_xyxy).all()
+
+
+def test_ste_fake_quant_matches_int8_and_passes_gradients():
+    """The QAT path (straight_through=True) must compute the SAME numbers
+    as the int8 path (it is the same quantization expressed in f32) while
+    passing gradients through the rounding (STE) — the int8 path's
+    gradient is undefined/zero."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(0, 1, (2, 7, 7, 4)).astype(np.float32))
+    s_a = jnp.float32(float(jnp.max(jnp.abs(x))) / 127.0)
+    conv = Int8Conv(features=8, kernel=3, stride=2, padding=1)
+    conv_ste = Int8Conv(features=8, kernel=3, stride=2, padding=1,
+                        straight_through=True)
+    v = conv.init(jax.random.PRNGKey(0), x, s_a)
+
+    y_int8 = conv.apply(v, x, s_a)
+    y_ste = conv_ste.apply(v, x, s_a)
+    np.testing.assert_allclose(np.asarray(y_ste), np.asarray(y_int8),
+                               rtol=1e-5, atol=1e-5)
+
+    # Gradients flow through the fake-quant (identity through round, unit
+    # through in-range clip, exactly zero where the input saturates).
+    g = jax.grad(lambda p: conv_ste.apply({"params": p}, x, s_a).sum())(
+        v["params"])
+    gk = np.asarray(g["kernel"])
+    assert np.isfinite(gk).all() and np.abs(gk).max() > 0
+    gx = jax.grad(lambda xx: conv_ste.apply(v, xx, s_a).sum())(x)
+    assert np.isfinite(np.asarray(gx)).all()
+    assert np.abs(np.asarray(gx)).max() > 0
+    # saturated inputs get zero gradient (clip STE)
+    x_sat = jnp.full_like(x, 1e6)
+    gx_sat = jax.grad(
+        lambda xx: conv_ste.apply(v, xx, s_a).sum())(x_sat)
+    np.testing.assert_array_equal(np.asarray(gx_sat), 0.0)
+
+
+def test_trainer_enable_qat_rebuilds_steps():
+    import dataclasses as dc
+    import flax.linen as fnn
+    from objectdetection_ssd_tpu.config import Config, ModelConfig
+    from objectdetection_ssd_tpu.train.trainer import Trainer
+
+    class Mini(fnn.Module):
+        @fnn.compact
+        def __call__(self, x, train=False):
+            x = TorchConv(8, kernel=3, stride=8, padding=1, name="c")(x)
+            loc = fnn.Conv(4, (1, 1))(x)
+            conf = fnn.Conv(21, (1, 1))(x)
+            return (loc.reshape(x.shape[0], -1, 4),
+                    conf.reshape(x.shape[0], -1, 21))
+
+    class _FakeLoader:
+        records = []
+
+        def __len__(self):
+            return 1
+
+    cfg = Config(model=ModelConfig(image_size=32))
+    cfg = cfg.replace(data=dc.replace(cfg.data, batch_size=8))
+    pri = np.concatenate([np.random.default_rng(0).uniform(0.2, 0.8, (16, 2)),
+                          np.full((16, 2), 0.3)], 1).astype(np.float32)
+    tr = Trainer(cfg, _FakeLoader(), model=Mini(), priors=pri)
+    before = tr.train_step
+    k0 = np.asarray(jax.device_get(tr.state.params["c"]["Conv_0"]["kernel"]))
+    tr.enable_qat({"c": {"act_scale": np.float32(0.02)}})
+    assert tr.train_step is not before
+    # the rebuilt step runs and produces finite loss through fake-quant
+    from objectdetection_ssd_tpu.parallel import mesh as mesh_lib
+    batch = {"images": np.random.default_rng(1).normal(
+                 0, 1, (8, 32, 32, 3)).astype(np.float32),
+             "boxes": np.tile(np.asarray([[[0.2, 0.2, 0.7, 0.7]]],
+                                         np.float32), (8, 1, 1)),
+             "classes": np.tile(np.asarray([[2]], np.int32), (8, 1)),
+             "mask": np.ones((8, 1), bool)}
+    state2, metrics = tr.train_step(tr.state,
+                                    mesh_lib.shard_batch(batch, tr.mesh))
+    assert np.isfinite(float(metrics["loss"]))
+    # fake-quant gradients actually moved the quantized conv
+    k1 = np.asarray(jax.device_get(state2.params)["c"]["Conv_0"]["kernel"])
+    assert not np.allclose(k0, k1)
