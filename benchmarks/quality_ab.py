@@ -117,6 +117,31 @@ def main() -> int:
             "map_delta_vs_baseline": round(mean_ap - base_map, 5),
             "wall_seconds": round(time.perf_counter() - t0, 1)}))
 
+    # --- QAT stage: fine-tune through fake-quant, re-measure served int8 --
+    # (cli train --qat recalibrates on the resumed weights, rebuilds the
+    # steps with straight-through fake-quant convs, and trains 5 more
+    # epochs; the checkpoint then serves --int8 with the same scales.)
+    t0 = time.perf_counter()
+    cli.main([
+        "train", "--voc-root", root, "--epochs", str(EPOCHS + 5),
+        "--batch-size", str(BATCH), "--num-workers", "0",
+        "--checkpoint-dir", ckpt, "--bf16", "--resume", "--qat",
+        "--lr", "1e-4", "--no-lr-decay",
+        "--image-cache", os.path.join(work, "cache"),
+    ])
+    print(json.dumps({"stage": "qat_finetuned", "epochs": 5,
+                      "wall_seconds": round(time.perf_counter() - t0, 1)}))
+    params, batch_stats = cli._restore_params(cfg)
+    qtree_post = cli._build_quant(cfg.replace(quant=qcfg), params,
+                                  batch_stats, records=train_recs)
+    det = Detector(cfg, params, batch_stats, postprocess_config=pp_exact,
+                   quant=qtree_post)
+    aps, qat_map = evaluate_records(cfg, params, val_recs,
+                                    batch_stats=batch_stats, detector=det)
+    print(json.dumps({"stage": "eval_int8_after_qat",
+                      "map": round(qat_map, 5),
+                      "map_delta_vs_baseline": round(qat_map - base_map, 5)}))
+
     # --- same-process throughput A/B: bf16 vs int8 (bench methodology) ---
     import jax
     import jax.numpy as jnp
