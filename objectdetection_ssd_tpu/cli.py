@@ -159,10 +159,22 @@ def _build_quant(cfg: config_lib.Config, params, batch_stats,
     """
     if not cfg.quant.int8:
         return None
+    import os
     import numpy as np
     from objectdetection_ssd_tpu.data import pipeline as data_pipeline
     from objectdetection_ssd_tpu.infer import quant as quant_lib
     from objectdetection_ssd_tpu.models.ssd import build_model
+    # A QAT run persisted the scales its fake-quant training baked the
+    # weights for — serve with THOSE, not a fresh calibration of the
+    # fine-tuned weights (quant.save_scales docstring).
+    saved = os.path.join(cfg.train.checkpoint_dir,
+                         quant_lib.SCALES_FILENAME)
+    if os.path.exists(saved):
+        qtree = quant_lib.load_scales(saved)
+        print(f"int8: using QAT-trained scales from {saved} "
+              f"({quant_lib.count_quantized(qtree)} convs)",
+              file=sys.stderr)
+        return qtree
     paths = (image_paths if image_paths is not None
              else [r.image_path for r in records])
     n = max(1, min(cfg.quant.calib_images, len(paths)))
@@ -364,6 +376,11 @@ def cmd_train(args) -> int:
              if trainer.state.batch_stats is not None else None),
             records=train_recs)
         trainer.enable_qat(qtree)
+        import os
+        from objectdetection_ssd_tpu.infer import quant as quant_lib
+        os.makedirs(cfg.train.checkpoint_dir, exist_ok=True)
+        quant_lib.save_scales(qtree, os.path.join(
+            cfg.train.checkpoint_dir, quant_lib.SCALES_FILENAME))
     trainer.fit(profile_dir=args.profile_dir)
     return 0
 
@@ -559,7 +576,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                               "convs (straight-through estimator) so the "
                               "checkpoint serves --int8 at ~no accuracy "
                               "cost (calibration size/heads policy from "
-                              "QuantConfig)")
+                              "QuantConfig); the scales persist as "
+                              "quant_scales.json next to the checkpoint "
+                              "and --int8 serves/reuses them (delete the "
+                              "file to recalibrate from scratch)")
     p_train.add_argument("--init-torch-vgg16", default=None,
                          help="initialize the VGG trunk from a torchvision "
                               "vgg16 state_dict/.pth (the reference's "

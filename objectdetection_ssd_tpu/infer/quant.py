@@ -110,3 +110,41 @@ def act_scales(stats: Dict[str, Any],
 def count_quantized(qtree: Dict[str, Any]) -> int:
     """Number of convs the tree quantizes (act_scale leaves)."""
     return sum(1 for _ in jax.tree_util.tree_leaves(qtree))
+
+
+def save_scales(qtree: Dict[str, Any], path: str) -> None:
+    """Persist an act-scale tree as JSON (``a/b/act_scale`` -> float).
+
+    `cli train --qat` writes this next to the checkpoint so eval/detect/
+    export ``--int8`` serve with the SAME scales the fake-quant training
+    baked the weights for (recalibrating on the fine-tuned weights would
+    give slightly different scales than the ones trained against).
+    """
+    import json
+    flat = {}
+    for path_keys, leaf in jax.tree_util.tree_flatten_with_path(qtree)[0]:
+        segs = tuple(p.key for p in path_keys
+                     if isinstance(p, jax.tree_util.DictKey))
+        flat["/".join(segs)] = float(np.asarray(leaf))
+    with open(path, "w") as f:
+        json.dump({"format": "act_scales/1", "scales": flat}, f, indent=2)
+
+
+def load_scales(path: str) -> Dict[str, Any]:
+    """Inverse of `save_scales`."""
+    import json
+    with open(path) as f:
+        blob = json.load(f)
+    if blob.get("format") != "act_scales/1":
+        raise ValueError(f"{path}: not an act_scales/1 file")
+    out: Dict[str, Any] = {}
+    for key, val in blob["scales"].items():
+        node = out
+        segs = key.split("/")
+        for seg in segs[:-1]:
+            node = node.setdefault(seg, {})
+        node[segs[-1]] = np.float32(val)
+    return out
+
+
+SCALES_FILENAME = "quant_scales.json"

@@ -153,3 +153,27 @@ def test_eval_map_every_scores_ema_weights_when_enabled():
     assert cli._eval_weights(_S()) == {"w": 2}
     _S.ema_params = None
     assert cli._eval_weights(_S()) == {"w": 1}
+
+
+def test_int8_uses_saved_qat_scales(tmp_path):
+    """A checkpoint dir with quant_scales.json (written by train --qat)
+    must make --int8 serve the QAT-trained scales instead of recalibrating
+    on the fine-tuned weights."""
+    import dataclasses
+    import numpy as np
+    from objectdetection_ssd_tpu.infer import quant as quant_lib
+
+    qtree = {"trunk": {"conv1_1": {"act_scale": np.float32(0.031)}}}
+    quant_lib.save_scales(qtree, str(tmp_path / quant_lib.SCALES_FILENAME))
+
+    cfg = cli.config_lib.Config()
+    cfg = cfg.replace(
+        train=dataclasses.replace(cfg.train, checkpoint_dir=str(tmp_path)),
+        quant=dataclasses.replace(cfg.quant, int8=True))
+    # params/records are never touched on the short-circuit path
+    out = cli._build_quant(cfg, params=None, batch_stats=None, records=None)
+    np.testing.assert_allclose(out["trunk"]["conv1_1"]["act_scale"], 0.031,
+                               rtol=1e-6)
+    # without the file, int8 off -> None
+    cfg2 = cfg.replace(quant=dataclasses.replace(cfg.quant, int8=False))
+    assert cli._build_quant(cfg2, None, None, records=None) is None
