@@ -456,9 +456,17 @@ def cmd_export(args) -> int:
                                                           False))
     quant = None
     if cfg.quant.int8:
-        # Calibrate on the train split (needs --voc-root, like eval).
-        train_recs, _ = _load_split(cfg, args)
-        quant = _build_quant(cfg, params, batch_stats, records=train_recs)
+        import os
+        from objectdetection_ssd_tpu.infer import quant as quant_lib
+        if os.path.exists(os.path.join(cfg.train.checkpoint_dir,
+                                       quant_lib.SCALES_FILENAME)):
+            # QAT checkpoint: saved scales, no dataset needed to export.
+            quant = _build_quant(cfg, params, batch_stats)
+        else:
+            # Plain PTQ: calibrate on the train split (needs --voc-root).
+            train_recs, _ = _load_split(cfg, args)
+            quant = _build_quant(cfg, params, batch_stats,
+                                 records=train_recs)
     out = export_detector(cfg, params, args.out_dir,
                           batch_size=args.serve_batch_size,
                           batch_stats=batch_stats, quant=quant)
