@@ -39,7 +39,15 @@ def main() -> int:
     # int8 MXU peak is 2x bf16).  Calibration on one batch of the bench's
     # own random inputs — scale VALUES don't affect throughput.
     int8 = "--int8" in argv
-    argv = [a for a in argv if a not in ("--resnet34", "--int8")]
+    # `--vmem-kib=N` overrides the scoped-VMEM budget (sweep tool; the
+    # measured per-graph optima live in PostprocessConfig and RESULTS.md).
+    vmem_kib = None
+    for a in argv:
+        if a.startswith("--vmem-kib="):
+            vmem_kib = int(a.split("=", 1)[1])
+    argv = [a for a in argv
+            if a not in ("--resnet34", "--int8")
+            and not a.startswith("--vmem-kib=")]
     batch_size = int(argv[0]) if argv else 256
     on_tpu = jax.devices()[0].platform != "cpu"
     # bf16 activations keep the MXU at full rate; f32 on CPU for testing.
@@ -73,7 +81,8 @@ def main() -> int:
     # +1.2% e2e at bs=256 — PostprocessConfig.scoped_vmem_limit_kib and
     # RESULTS.md "scoped-VMEM compiler option").
     from objectdetection_ssd_tpu.xla_options import scoped_vmem_options
-    copts = scoped_vmem_options(pp_cfg.scoped_vmem_limit_kib)
+    copts = scoped_vmem_options(
+        pp_cfg.scoped_vmem_limit_kib if vmem_kib is None else vmem_kib)
 
     @functools.partial(jax.jit, compiler_options=copts)
     def step(params, x):
