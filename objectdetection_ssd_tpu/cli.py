@@ -297,6 +297,11 @@ def cmd_train(args) -> int:
     if args.epochs is not None:
         cfg = cfg.replace(train=dataclasses.replace(
             cfg.train, num_epochs=args.epochs))
+    if (getattr(args, "fsdp", 0) and args.fsdp > 1 and
+            getattr(args, "tp", 0) and args.tp > 1):
+        raise SystemExit("--fsdp and --tp are mutually exclusive (one "
+                         "secondary mesh axis; pick params-gathered ZeRO-3 "
+                         "or channel-partitioned tensor parallelism)")
     if getattr(args, "fsdp", 0) and args.fsdp > 1:
         import jax
         n = len(jax.devices())
@@ -306,6 +311,15 @@ def cmd_train(args) -> int:
         cfg = cfg.replace(train=dataclasses.replace(
             cfg.train, mesh_shape=(n // args.fsdp, args.fsdp),
             mesh_axis_names=("data", "fsdp")))
+    if getattr(args, "tp", 0) and args.tp > 1:
+        import jax
+        n = len(jax.devices())
+        if n % args.tp:
+            raise SystemExit(f"--tp {args.tp} does not divide the "
+                             f"{n} available devices")
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, mesh_shape=(n // args.tp, args.tp),
+            mesh_axis_names=("data", "model")))
     init_params, init_batch_stats = _load_init_weights(args, cfg)
     train_recs, val_recs = _load_split(cfg, args)
 
@@ -400,11 +414,29 @@ def cmd_eval(args) -> int:
         import jax
         from objectdetection_ssd_tpu.parallel import mesh as mesh_lib
         devs = jax.devices()
-        if args.data_parallel > len(devs):
-            raise SystemExit(f"--data-parallel {args.data_parallel} exceeds "
-                             f"the {len(devs)} available devices")
-        mesh = mesh_lib.create_mesh((args.data_parallel,),
-                                    devices=devs[:args.data_parallel])
+        tp = max(getattr(args, "tp", 0), 1)
+        if args.data_parallel * tp > len(devs):
+            raise SystemExit(f"--data-parallel {args.data_parallel}"
+                             + (f" x --tp {tp}" if tp > 1 else "") +
+                             f" exceeds the {len(devs)} available devices")
+        if tp > 1:
+            # 2-D eval mesh: batches shard over data, conv channels
+            # partition over model (tensor-parallel inference).
+            mesh = mesh_lib.create_mesh(
+                (args.data_parallel, tp), ("data", "model"),
+                devices=devs[:args.data_parallel * tp])
+        else:
+            mesh = mesh_lib.create_mesh((args.data_parallel,),
+                                        devices=devs[:args.data_parallel])
+    elif getattr(args, "tp", 0) and args.tp > 1:
+        import jax
+        from objectdetection_ssd_tpu.parallel import mesh as mesh_lib
+        devs = jax.devices()
+        if args.tp > len(devs):
+            raise SystemExit(f"--tp {args.tp} exceeds the "
+                             f"{len(devs)} available devices")
+        mesh = mesh_lib.create_mesh((1, args.tp), ("data", "model"),
+                                    devices=devs[:args.tp])
     quant = _build_quant(cfg, params, batch_stats, records=train_recs)
     out = evaluate_records(cfg, params, records, batch_stats=batch_stats,
                            iou_sweep=args.iou_sweep,
@@ -571,6 +603,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                          help="shard params/momentum ZeRO-3 style over an "
                               "fsdp mesh axis of this size (devices are "
                               "arranged as (n/fsdp, fsdp) = (data, fsdp))")
+    p_train.add_argument("--tp", type=int, default=0,
+                         help="tensor parallelism: partition conv "
+                              "channels (params AND compute) over a model "
+                              "mesh axis of this size (devices arranged "
+                              "as (n/tp, tp) = (data, model)); mutually "
+                              "exclusive with --fsdp")
     p_train.add_argument("--freeze-trunk-stages", type=int, default=0,
                          choices=range(0, 6),
                          help="freeze the first N VGG stages (1=conv1 .. "
@@ -624,6 +662,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                         help="shard eval batches over an N-device data "
                              "mesh (0/1 = single device); the batch size "
                              "is rounded up to a multiple of N")
+    p_eval.add_argument("--tp", type=int, default=0, metavar="N",
+                        help="tensor-parallel inference: partition conv "
+                             "channels over an N-device model mesh axis "
+                             "(composes with --data-parallel into a "
+                             "(data, model) mesh)")
     p_eval.add_argument("--use-ema", action="store_true",
                         help="read the EMA-averaged weights (requires an EMA-enabled checkpoint and the matching --ema-decay)")
     _int8_flags(p_eval)

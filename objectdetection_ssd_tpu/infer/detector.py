@@ -134,7 +134,11 @@ class Detector:
                  mesh=None, quant: Any = None):
         """``mesh``: optional `jax.sharding.Mesh` with a ``data`` axis —
         batches are sharded over it and params replicated, scaling batched
-        inference across chips the same way the train step does.
+        inference across chips the same way the train step does.  A mesh
+        with a ``model`` axis (> 1) additionally runs TENSOR-PARALLEL
+        inference: params live channel-sharded and each device computes
+        its slice of every conv's output channels (same arrangement as
+        `train --tp N`; see parallel/mesh.py:tp_sharding_for).
 
         ``quant``: optional int8-PTQ activation-scale tree from
         `infer.quant.act_scales` — convs with an entry run int8 on the MXU
@@ -174,9 +178,22 @@ class Detector:
             from objectdetection_ssd_tpu.parallel import mesh as mesh_lib
             repl = NamedSharding(mesh, P())
             data = mesh_lib.batch_sharding(mesh)
+            p_shard = repl
+            if "model" in mesh.axis_names and mesh.shape["model"] > 1:
+                # Tensor-parallel inference: conv channels (params AND
+                # compute) partition over the model axis, exactly like the
+                # train step under --tp (parallel/mesh.py:tp_sharding_for).
+                # Params are placed sharded up front so each device holds
+                # only its channel slice.
+                p_shard = jax.tree_util.tree_map(
+                    lambda x: mesh_lib.tp_sharding_for(jnp.asarray(x), mesh),
+                    params)
+                self.params = jax.tree_util.tree_map(
+                    lambda x, s: jax.device_put(jnp.asarray(x), s),
+                    params, p_shard)
             self._infer = jax.jit(
-                _infer, in_shardings=(repl, repl, data), out_shardings=data,
-                compiler_options=copts)
+                _infer, in_shardings=(p_shard, repl, data),
+                out_shardings=data, compiler_options=copts)
 
     def detect_batch(self, images: jnp.ndarray) -> Detections:
         """(B, S, S, 3) preprocessed images -> Detections (normalized boxes)."""

@@ -137,3 +137,43 @@ def state_fsdp_shardings(state: Any, mesh: Mesh, axis: str = "fsdp") -> Any:
     scalars (step) replicated — suitable for jit in/out_shardings."""
     return jax.tree_util.tree_map(
         lambda x: fsdp_sharding_for(x, mesh, axis), state)
+
+
+def tp_sharding_for(x: jax.Array, mesh: Mesh,
+                    axis: str = "model") -> NamedSharding:
+    """Tensor-parallel sharding for one param leaf: the OUTPUT-CHANNEL dim
+    — last dim of HWIO conv kernels / (in, out) dense kernels, dim 0 of
+    per-channel vectors (biases, BN stats, L2Norm scales) — shards over
+    the ``model`` axis when it divides; replicate otherwise (scalars, odd
+    widths like the 21k conf-head channels under big meshes).
+
+    This differs from FSDP in WHERE the collective lands, not in the
+    annotation machinery: FSDP also shards the batch over its axis, so
+    GSPMD's cheapest plan is gather-params-at-use (ZeRO-3).  A TP axis
+    carries NO batch rows (`batch_axes` excludes it), so the cheapest plan
+    partitions the convolution itself — each device computes its channel
+    slice of every output feature map for the full per-data-shard batch.
+    Conv FLOPs and param/momentum memory both split N ways over ``model``;
+    activations live channel-sharded between consecutive convs.  This is
+    the Megatron column-parallel arrangement expressed as GSPMD
+    annotations (the reference has no model parallelism at all —
+    SURVEY.md §2 "Parallelism strategies: NONE").
+    """
+    n = mesh.shape[axis]
+    dims = list(x.shape)
+    if n == 1 or not dims:
+        return NamedSharding(mesh, P())
+    d = len(dims) - 1 if len(dims) > 1 else 0
+    if dims[d] % n == 0 and dims[d] >= n:
+        spec = [None] * len(dims)
+        spec[d] = axis
+        return NamedSharding(mesh, P(*spec))
+    return NamedSharding(mesh, P())
+
+
+def state_tp_shardings(state: Any, mesh: Mesh, axis: str = "model") -> Any:
+    """Sharding pytree for a TrainState under tensor parallelism: every
+    param/momentum/EMA leaf channel-sharded per `tp_sharding_for`, scalars
+    replicated — suitable for jit in/out_shardings."""
+    return jax.tree_util.tree_map(
+        lambda x: tp_sharding_for(x, mesh, axis), state)

@@ -101,11 +101,18 @@ class Trainer:
                                          init_batch_stats))
         # State layout: replicated by default; FSDP-sharded (ZeRO-3) when
         # the mesh carries an 'fsdp' axis of size > 1 (e.g.
-        # TrainConfig.mesh_shape=(4, 2), mesh_axis_names=("data", "fsdp")).
+        # TrainConfig.mesh_shape=(4, 2), mesh_axis_names=("data", "fsdp"));
+        # tensor-parallel (channel-sharded params, conv compute partitioned
+        # over the axis — parallel/mesh.py:tp_sharding_for) when it carries
+        # a 'model' axis instead (("data", "model"), --tp on the CLI).
         state_sharding = None
         if "fsdp" in self.mesh.axis_names and self.mesh.shape["fsdp"] > 1:
             state_sharding = mesh_lib.state_fsdp_shardings(self.state,
                                                            self.mesh)
+            self.state = jax.device_put(self.state, state_sharding)
+        elif "model" in self.mesh.axis_names and self.mesh.shape["model"] > 1:
+            state_sharding = mesh_lib.state_tp_shardings(self.state,
+                                                         self.mesh)
             self.state = jax.device_put(self.state, state_sharding)
         else:
             self.state = mesh_lib.replicate(self.state, self.mesh)
