@@ -45,8 +45,11 @@ def main() -> int:
     for a in argv:
         if a.startswith("--vmem-kib="):
             vmem_kib = int(a.split("=", 1)[1])
+    # `--forward-only`: drop postprocess from the step — isolates the conv
+    # stack to attribute the e2e residual (diagnostic, not the headline).
+    forward_only = "--forward-only" in argv
     argv = [a for a in argv
-            if a not in ("--resnet34", "--int8")
+            if a not in ("--resnet34", "--int8", "--forward-only")
             and not a.startswith("--vmem-kib=")]
     batch_size = int(argv[0]) if argv else 256
     on_tpu = jax.devices()[0].platform != "cpu"
@@ -76,6 +79,8 @@ def main() -> int:
         params = dict(params, quant=jax.tree_util.tree_map(
             jnp.asarray, quant_lib.act_scales(stats)))
         name += "_int8"
+    if forward_only:
+        name += "_fwdonly"
 
     # Inference-graph scoped-VMEM budget (PJRT compiler option; measured
     # +1.2% e2e at bs=256 — PostprocessConfig.scoped_vmem_limit_kib and
@@ -91,6 +96,10 @@ def main() -> int:
         # constants (a 105 MB program the relay compiler chokes on for
         # many minutes — measured); as a parameter the program stays small.
         loc, conf = model.apply(params, x)
+        if forward_only:
+            s = (jnp.sum(loc.astype(jnp.float32)) +
+                 jnp.sum(conf.astype(jnp.float32))) * 1e-9
+            return x * (1.0 + s.astype(dtype) * 1e-6)
         # Feed bf16 outputs straight in: postprocess casts where precision
         # matters (decode/IoU in f32) and keeps the big (B, P, 21) score
         # ranking in bf16 — forcing f32 here costs ~2.5% e2e (measured).

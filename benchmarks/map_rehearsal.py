@@ -56,18 +56,25 @@ def main() -> int:
                       TRAIN_IMAGES_2007 + TRAIN_IMAGES_2012}))
 
     # --- train the real SSD300 from scratch through the real CLI ---------
+    # Resumable: an existing checkpoint in the workdir skips the ~40-epoch
+    # train so follow-up measurements (e.g. the int8 leg) can rerun alone.
+    have_ckpt = os.path.isdir(ckpt) and bool(os.listdir(ckpt))
     t0 = time.perf_counter()
-    cli.main([
-        "train", "--voc-root", root, "--epochs", str(EPOCHS),
-        "--batch-size", str(BATCH), "--num-workers", "0",
-        "--checkpoint-dir", ckpt, "--bf16",
-        "--lr", "5e-4", "--warmup-steps", "300", "--no-lr-decay",
-        "--image-cache", os.path.join(work, "cache"),
-        "--eval-map-every", "10",
-    ])
-    train_s = time.perf_counter() - t0
-    print(json.dumps({"stage": "trained", "epochs": EPOCHS,
-                      "wall_seconds": round(train_s, 1)}))
+    if not have_ckpt:
+        cli.main([
+            "train", "--voc-root", root, "--epochs", str(EPOCHS),
+            "--batch-size", str(BATCH), "--num-workers", "0",
+            "--checkpoint-dir", ckpt, "--bf16",
+            "--lr", "5e-4", "--warmup-steps", "300", "--no-lr-decay",
+            "--image-cache", os.path.join(work, "cache"),
+            "--eval-map-every", "10",
+        ])
+        train_s = time.perf_counter() - t0
+        print(json.dumps({"stage": "trained", "epochs": EPOCHS,
+                          "wall_seconds": round(train_s, 1)}))
+    else:
+        print(json.dumps({"stage": "trained", "skipped": True,
+                          "checkpoint": ckpt}))
 
     # --- (c) per-class AP report through `cli eval` ----------------------
     buf = io.StringIO()
@@ -131,6 +138,29 @@ def main() -> int:
     print(json.dumps({
         "stage": "approx_vs_exact",
         "map_delta": round(results["approx"] - results["exact"], 6)}))
+
+    # --- int8 PTQ mAP at scale -------------------------------------------
+    # The int8 serving path (infer/quant.py; measured +43% e2e on the v5e)
+    # quantifies its accuracy cost here on the SAME trained model and 5k
+    # protocol: calibrate on train-split images (the standard PTQ recipe,
+    # cli._build_quant), evaluate with the exact postprocess, report the
+    # delta vs the f32/bf16 exact run above.
+    qcfg = dataclasses.replace(cfg.quant, int8=True)
+    cfg_q = dataclasses.replace(cfg, quant=qcfg)
+    train_recs = voc.load_records(root, train=True)
+    quant = cli._build_quant(cfg_q, params, batch_stats, records=train_recs)
+    pp = exact_eval_postprocess(cfg.postprocess)
+    det = Detector(cfg, params, batch_stats, postprocess_config=pp,
+                   quant=quant)
+    t0 = time.perf_counter()
+    aps, int8_map = evaluate_records(cfg, params, records,
+                                     batch_stats=batch_stats, detector=det)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "stage": "eval5k_int8_exact", "images": len(records),
+        "map": round(int8_map, 5), "wall_seconds": round(dt, 1),
+        "images_per_sec": round(len(records) / dt, 1),
+        "int8_vs_f32_map_delta": round(int8_map - results["exact"], 6)}))
     return 0
 
 

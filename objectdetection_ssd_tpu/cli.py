@@ -297,11 +297,15 @@ def cmd_train(args) -> int:
     if args.epochs is not None:
         cfg = cfg.replace(train=dataclasses.replace(
             cfg.train, num_epochs=args.epochs))
-    if (getattr(args, "fsdp", 0) and args.fsdp > 1 and
-            getattr(args, "tp", 0) and args.tp > 1):
-        raise SystemExit("--fsdp and --tp are mutually exclusive (one "
-                         "secondary mesh axis; pick params-gathered ZeRO-3 "
-                         "or channel-partitioned tensor parallelism)")
+    secondary = [f for f, v in (("--fsdp", getattr(args, "fsdp", 0)),
+                                ("--tp", getattr(args, "tp", 0)),
+                                ("--sp", getattr(args, "sp", 0)))
+                 if v and v > 1]
+    if len(secondary) > 1:
+        raise SystemExit(f"{' and '.join(secondary)} are mutually exclusive "
+                         "(one secondary mesh axis; pick params-gathered "
+                         "ZeRO-3, channel-partitioned tensor parallelism, "
+                         "or H-partitioned spatial parallelism)")
     if getattr(args, "fsdp", 0) and args.fsdp > 1:
         import jax
         n = len(jax.devices())
@@ -320,6 +324,18 @@ def cmd_train(args) -> int:
         cfg = cfg.replace(train=dataclasses.replace(
             cfg.train, mesh_shape=(n // args.tp, args.tp),
             mesh_axis_names=("data", "model")))
+    if getattr(args, "sp", 0) and args.sp > 1:
+        import jax
+        n = len(jax.devices())
+        if n % args.sp:
+            raise SystemExit(f"--sp {args.sp} does not divide the "
+                             f"{n} available devices")
+        if cfg.model.image_size % args.sp:
+            raise SystemExit(f"--sp {args.sp} does not divide the image "
+                             f"height ({cfg.model.image_size})")
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, mesh_shape=(n // args.sp, args.sp),
+            mesh_axis_names=("data", "spatial")))
     init_params, init_batch_stats = _load_init_weights(args, cfg)
     train_recs, val_recs = _load_split(cfg, args)
 
@@ -410,33 +426,45 @@ def cmd_eval(args) -> int:
                                           use_ema=getattr(args, "use_ema",
                                                           False))
     mesh = None
+    tp = max(getattr(args, "tp", 0), 1)
+    sp = max(getattr(args, "sp", 0), 1)
+    if tp > 1 and sp > 1:
+        raise SystemExit("--tp and --sp are mutually exclusive (one "
+                         "secondary eval-mesh axis)")
+    # Secondary axis (channel-partitioned TP or H-partitioned spatial)
+    # composes with --data-parallel; alone it gets a (1, n) mesh.
+    sec = ("model", tp) if tp > 1 else ("spatial", sp)
     if getattr(args, "data_parallel", 0) and args.data_parallel > 1:
         import jax
         from objectdetection_ssd_tpu.parallel import mesh as mesh_lib
         devs = jax.devices()
-        tp = max(getattr(args, "tp", 0), 1)
-        if args.data_parallel * tp > len(devs):
-            raise SystemExit(f"--data-parallel {args.data_parallel}"
-                             + (f" x --tp {tp}" if tp > 1 else "") +
-                             f" exceeds the {len(devs)} available devices")
-        if tp > 1:
-            # 2-D eval mesh: batches shard over data, conv channels
-            # partition over model (tensor-parallel inference).
+        n = args.data_parallel * sec[1]
+        if n > len(devs):
+            raise SystemExit(
+                f"--data-parallel {args.data_parallel}"
+                + (f" x --{'tp' if tp > 1 else 'sp'} {sec[1]}"
+                   if sec[1] > 1 else "")
+                + f" exceeds the {len(devs)} available devices")
+        if sec[1] > 1:
+            # 2-D eval mesh: batches shard over data; conv channels
+            # (model axis) or image H rows (spatial axis) partition over
+            # the secondary axis.
             mesh = mesh_lib.create_mesh(
-                (args.data_parallel, tp), ("data", "model"),
-                devices=devs[:args.data_parallel * tp])
+                (args.data_parallel, sec[1]), ("data", sec[0]),
+                devices=devs[:n])
         else:
             mesh = mesh_lib.create_mesh((args.data_parallel,),
                                         devices=devs[:args.data_parallel])
-    elif getattr(args, "tp", 0) and args.tp > 1:
+    elif sec[1] > 1:
         import jax
         from objectdetection_ssd_tpu.parallel import mesh as mesh_lib
         devs = jax.devices()
-        if args.tp > len(devs):
-            raise SystemExit(f"--tp {args.tp} exceeds the "
-                             f"{len(devs)} available devices")
-        mesh = mesh_lib.create_mesh((1, args.tp), ("data", "model"),
-                                    devices=devs[:args.tp])
+        if sec[1] > len(devs):
+            raise SystemExit(
+                f"--{'tp' if tp > 1 else 'sp'} {sec[1]} exceeds the "
+                f"{len(devs)} available devices")
+        mesh = mesh_lib.create_mesh((1, sec[1]), ("data", sec[0]),
+                                    devices=devs[:sec[1]])
     quant = _build_quant(cfg, params, batch_stats, records=train_recs)
     out = evaluate_records(cfg, params, records, batch_stats=batch_stats,
                            iou_sweep=args.iou_sweep,
@@ -609,6 +637,15 @@ def main(argv: Optional[List[str]] = None) -> int:
                               "mesh axis of this size (devices arranged "
                               "as (n/tp, tp) = (data, model)); mutually "
                               "exclusive with --fsdp")
+    p_train.add_argument("--sp", type=int, default=0,
+                         help="spatial parallelism: partition the image H "
+                              "dim (and every conv's compute, with GSPMD "
+                              "halo exchange) over a spatial mesh axis of "
+                              "this size (devices arranged as (n/sp, sp) = "
+                              "(data, spatial)); params replicate over the "
+                              "axis; use when per-example activation "
+                              "memory is the wall; mutually exclusive "
+                              "with --fsdp/--tp")
     p_train.add_argument("--freeze-trunk-stages", type=int, default=0,
                          choices=range(0, 6),
                          help="freeze the first N VGG stages (1=conv1 .. "
@@ -667,6 +704,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                              "channels over an N-device model mesh axis "
                              "(composes with --data-parallel into a "
                              "(data, model) mesh)")
+    p_eval.add_argument("--sp", type=int, default=0, metavar="N",
+                        help="spatially-partitioned inference: shard the "
+                             "image H dim over an N-device spatial mesh "
+                             "axis (GSPMD halo exchange; composes with "
+                             "--data-parallel into a (data, spatial) "
+                             "mesh); mutually exclusive with --tp")
     p_eval.add_argument("--use-ema", action="store_true",
                         help="read the EMA-averaged weights (requires an EMA-enabled checkpoint and the matching --ema-decay)")
     _int8_flags(p_eval)

@@ -133,11 +133,13 @@ class PostprocessConfig:
     # max-foreground score, then rank per class among those M only.  Cuts
     # the dominant (B, 20, P) top-k to (B, 20, M).  A candidate is lost only
     # if >M anchors outscore its anchor's best class — never in practice at
-    # threshold 0.2 (256 slots vs typically < 20 survivors/class).  0
+    # threshold 0.2 (128 slots vs typically < 20 survivors/class).  0
     # disables; exact mode (use_approx_top_k=False) always ranks over all P
-    # anchors.  512 -> 256 measured +2% e2e at bs=256 with identical
-    # survivor sets on the trained-model score distributions in the tests.
-    anchor_prefilter: int = 256
+    # anchors.  Measured at bs=256 (same-process A/Bs, RESULTS.md): 512 ->
+    # 256 +2% e2e (r3), 256 -> 128 another +2.0% bf16 / +3.1% int8 (late
+    # r3); approx-vs-exact mAP delta re-validated at the 5k-image rehearsal
+    # scale with this default.  Raise for ultra-dense scenes.
+    anchor_prefilter: int = 128
     # TPU compiler knob for the INFERENCE graph (PJRT compiler_options,
     # see xla_options.py): per-fusion scoped-VMEM budget in KiB.  24 MiB
     # measured +1.2% e2e img/s at bs=256 (2222 -> 2248, replicated across

@@ -138,7 +138,12 @@ class Detector:
         with a ``model`` axis (> 1) additionally runs TENSOR-PARALLEL
         inference: params live channel-sharded and each device computes
         its slice of every conv's output channels (same arrangement as
-        `train --tp N`; see parallel/mesh.py:tp_sharding_for).
+        `train --tp N`; see parallel/mesh.py:tp_sharding_for).  A
+        ``spatial`` axis (> 1) runs SPATIALLY-PARTITIONED inference: the
+        image H dim shards over the axis and GSPMD partitions each conv
+        with halo exchange (parallel/mesh.py:image_sharding) — the
+        latency lever for small-batch serving, where the data axis has
+        too few rows to split.
 
         ``quant``: optional int8-PTQ activation-scale tree from
         `infer.quant.act_scales` — convs with an entry run int8 on the MXU
@@ -191,8 +196,10 @@ class Detector:
                 self.params = jax.tree_util.tree_map(
                     lambda x, s: jax.device_put(jnp.asarray(x), s),
                     params, p_shard)
+            img = (mesh_lib.image_sharding(mesh)
+                   if mesh_lib.spatial_ways(mesh) > 1 else data)
             self._infer = jax.jit(
-                _infer, in_shardings=(p_shard, repl, data),
+                _infer, in_shardings=(p_shard, repl, img),
                 out_shardings=data, compiler_options=copts)
 
     def detect_batch(self, images: jnp.ndarray) -> Detections:

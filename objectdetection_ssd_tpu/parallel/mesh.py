@@ -52,12 +52,44 @@ def batch_sharding(mesh: Mesh, axis: Optional[str] = None) -> NamedSharding:
     return NamedSharding(mesh, P(axes) if axes else P())
 
 
+def spatial_ways(mesh: Mesh) -> int:
+    """Size of the ``spatial`` mesh axis (1 when absent/trivial).
+
+    Spatial partitioning is the CNN analog of sequence parallelism: image
+    HEIGHT rows shard over the axis and GSPMD partitions every convolution
+    spatially, inserting the kernel-halo exchanges (collective-permutes of
+    the boundary rows) automatically.  Params replicate over the axis and —
+    like the ``model`` axis — it carries NO batch rows: each device computes
+    an H-slice of every example's feature maps.  Use it when per-example
+    activation memory (not batch size) is the wall: activations split N
+    ways at full batch.  The reference has nothing comparable (single
+    device; SURVEY.md §2 "Parallelism strategies: NONE").
+    """
+    if "spatial" in mesh.axis_names:
+        return int(mesh.shape["spatial"])
+    return 1
+
+
+def image_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for NHWC image batches: leading dim over the batch axes,
+    H (dim 1) over ``spatial`` when that axis is non-trivial."""
+    axes = batch_axes(mesh)
+    lead = axes if axes else None
+    if spatial_ways(mesh) > 1:
+        return NamedSharding(mesh, P(lead, "spatial"))
+    return NamedSharding(mesh, P(lead) if lead else P())
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis: Optional[str] = None) -> Any:
     """Put a host batch on the mesh with its leading dim sharded.
+
+    With a non-trivial ``spatial`` mesh axis, 4-D (NHWC image) leaves
+    additionally shard their H dim over it (`image_sharding`); label
+    leaves (boxes/classes/mask) stay batch-sharded only.
 
     Multi-host aware: with ``jax.process_count() > 1`` the input is this
     process's LOCAL rows (see `parallel.distributed.local_shard_bounds`)
@@ -66,12 +98,16 @@ def shard_batch(batch: Any, mesh: Mesh, axis: Optional[str] = None) -> Any:
     plain device_put of the full batch.
     """
     sharding = batch_sharding(mesh, axis)
-    if jax.process_count() > 1:
-        return jax.tree_util.tree_map(
-            lambda x: jax.make_array_from_process_local_data(
-                sharding, np.asarray(x)), batch)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch)
+    img = (image_sharding(mesh)
+           if axis is None and spatial_ways(mesh) > 1 else sharding)
+
+    def put(x):
+        s = img if np.ndim(x) == 4 else sharding
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(s, np.asarray(x))
+        return jax.device_put(x, s)
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:

@@ -191,6 +191,15 @@ def make_jitted_steps(priors: jnp.ndarray, loss_config: LossConfig,
     # Batch rows spread over BOTH data and fsdp axes (ZeRO-3: params
     # gathered over fsdp, every device computes distinct examples).
     data = mesh_lib.batch_sharding(mesh)
+    if mesh_lib.spatial_ways(mesh) > 1:
+        # Spatial partitioning: the image leaf's H dim additionally shards
+        # over the ``spatial`` axis (parallel/mesh.py:image_sharding) and
+        # GSPMD partitions the convs with automatic halo exchange; label
+        # leaves stay batch-sharded.  The batch contract's keys are fixed
+        # (data/pipeline.py:collate), so the per-leaf in_shardings dict is
+        # spelled out here.
+        img = mesh_lib.image_sharding(mesh)
+        data = {"images": img, "boxes": data, "classes": data, "mask": data}
     state_shard = state_sharding if state_sharding is not None else repl
     metrics_repl = repl
     jit_train = jax.jit(

@@ -52,6 +52,11 @@ class Trainer:
         # Fail fast on a batch the mesh can't shard (clearer than the
         # device_put error deep inside the first step).
         mesh_lib.local_batch_size(config.data.batch_size, self.mesh)
+        sp = mesh_lib.spatial_ways(self.mesh)
+        if config.model.image_size % sp:
+            raise ValueError(
+                f"image_size {config.model.image_size} not divisible by "
+                f"the spatial mesh axis ({sp} ways)")
 
         # Multi-host: every host feeds only its rows of the global batch
         # (`Loader(shard=...)` + `mesh.shard_batch`'s process-local
@@ -105,6 +110,10 @@ class Trainer:
         # tensor-parallel (channel-sharded params, conv compute partitioned
         # over the axis — parallel/mesh.py:tp_sharding_for) when it carries
         # a 'model' axis instead (("data", "model"), --tp on the CLI).
+        # A 'spatial' axis (("data", "spatial"), --sp) keeps params
+        # replicated: the image H dim shards instead (mesh.image_sharding,
+        # wired through shard_batch + make_jitted_steps) and GSPMD
+        # partitions the convs with halo exchange.
         state_sharding = None
         if "fsdp" in self.mesh.axis_names and self.mesh.shape["fsdp"] > 1:
             state_sharding = mesh_lib.state_fsdp_shardings(self.state,

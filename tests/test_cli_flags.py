@@ -119,6 +119,13 @@ def test_eval_data_parallel_flag():
     assert args.data_parallel == 0
 
 
+def test_eval_sp_flag():
+    args = _parse(["eval", "--sp", "2"])
+    assert args.sp == 2
+    args = _parse(["eval"])
+    assert args.sp == 0
+
+
 def test_nms_method_flags_reach_config():
     args = _parse(["eval", "--nms-method", "soft_gaussian",
                    "--soft-nms-sigma", "0.7"])

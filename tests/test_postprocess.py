@@ -262,12 +262,19 @@ def test_anchor_prefilter_matches_full_path():
             logits[b, i, rng.integers(0, 20)] = rng.uniform(7.0, 10.0)
     base = PostprocessConfig(per_class_top_k=32, top_k=50,
                              use_approx_top_k=True, anchor_prefilter=0)
-    pre = dataclasses.replace(base, anchor_prefilter=256)
+    # 128 is the product default (see PostprocessConfig); 256 pins the
+    # larger budget too.
+    pre = dataclasses.replace(base, anchor_prefilter=128)
+    pre256 = dataclasses.replace(base, anchor_prefilter=256)
     d0 = postprocess(jnp.asarray(offsets), jnp.asarray(logits),
                      jnp.asarray(priors), base)
     d1 = postprocess(jnp.asarray(offsets), jnp.asarray(logits),
                      jnp.asarray(priors), pre)
+    d256 = postprocess(jnp.asarray(offsets), jnp.asarray(logits),
+                       jnp.asarray(priors), pre256)
     np.testing.assert_array_equal(np.asarray(d0.valid), np.asarray(d1.valid))
+    np.testing.assert_array_equal(np.asarray(d0.valid),
+                                  np.asarray(d256.valid))
 
     # The two paths round scores differently (bf16 single-stage vs f32
     # prefilter), which permutes near-equal rows in the global sort —
