@@ -62,6 +62,52 @@ def prepare_input(x: jnp.ndarray, dtype: Dtype) -> jnp.ndarray:
     return x.astype(dtype)
 
 
+def ssd300_post_trunk(conv4_3: jnp.ndarray, x: jnp.ndarray, *,
+                      num_classes: int, l2_norm_scale_init: float,
+                      dtype: Dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Everything after the VGG trunk: L2Norm, extra pyramid, heads.
+
+    A free function (must run inside an ``nn.compact`` ``__call__``) so the
+    monolithic `SSD300` and the pipeline-parallel stage module
+    (`parallel/pipeline.py:SSD300HeadStage`) share ONE implementation and
+    one param-name layout — the stage split can never drift from the
+    flagship forward.
+    """
+    conv4_3 = L2Norm(scale_init=l2_norm_scale_init,
+                     name="l2norm_4_3")(conv4_3)
+
+    def extra(x, mid, out, stride, padding, name):
+        x = TorchConv(mid, kernel=1, dtype=dtype,
+                      name=f"{name}_1", **xavier_conv_kwargs)(x)
+        x = nn.relu(x)
+        x = TorchConv(out, kernel=3, stride=stride, padding=padding,
+                      dtype=dtype, name=f"{name}_2",
+                      **xavier_conv_kwargs)(x)
+        return nn.relu(x)
+
+    taps: List[Tuple[jnp.ndarray, int]] = [(conv4_3, 4), (x, 6)]
+    x = extra(x, 256, 512, 2, 1, "seq8")      # 19 -> 10
+    taps.append((x, 6))
+    x = extra(x, 128, 256, 2, 1, "seq9")      # 10 -> 5
+    taps.append((x, 6))
+    x = extra(x, 128, 256, 1, 0, "seq10")     # 5 -> 3 (VALID)
+    taps.append((x, 4))
+    x = extra(x, 128, 256, 1, 0, "seq11")     # 3 -> 1 (VALID)
+    taps.append((x, 4))
+
+    locs, confs = [], []
+    for i, (tap, k) in enumerate(taps):
+        loc = TorchConv(4 * k, kernel=3, padding=1, dtype=dtype,
+                        name=f"loc_head_{i}", **xavier_conv_kwargs)(tap)
+        conf = TorchConv(num_classes * k, kernel=3, padding=1,
+                         dtype=dtype, name=f"conf_head_{i}",
+                         **xavier_conv_kwargs)(tap)
+        locs.append(flatten_head(loc, 4))
+        confs.append(flatten_head(conf, num_classes))
+    return (jnp.concatenate(locs, axis=1),
+            jnp.concatenate(confs, axis=1))
+
+
 class SSD300(nn.Module):
     """VGG-16 SSD300. Input (B, 300, 300, 3) -> ((B, 8732, 4), (B, 8732, C))."""
 
@@ -80,39 +126,9 @@ class SSD300(nn.Module):
         conv4_3, x = VGG16Trunk(dtype=self.dtype,
                                 freeze_stages=self.freeze_stages,
                                 name="trunk")(x)
-        conv4_3 = L2Norm(scale_init=self.l2_norm_scale_init,
-                         name="l2norm_4_3")(conv4_3)
-
-        def extra(x, mid, out, stride, padding, name):
-            x = TorchConv(mid, kernel=1, dtype=self.dtype,
-                          name=f"{name}_1", **xavier_conv_kwargs)(x)
-            x = nn.relu(x)
-            x = TorchConv(out, kernel=3, stride=stride, padding=padding,
-                          dtype=self.dtype, name=f"{name}_2",
-                          **xavier_conv_kwargs)(x)
-            return nn.relu(x)
-
-        taps: List[Tuple[jnp.ndarray, int]] = [(conv4_3, 4), (x, 6)]
-        x = extra(x, 256, 512, 2, 1, "seq8")      # 19 -> 10
-        taps.append((x, 6))
-        x = extra(x, 128, 256, 2, 1, "seq9")      # 10 -> 5
-        taps.append((x, 6))
-        x = extra(x, 128, 256, 1, 0, "seq10")     # 5 -> 3 (VALID)
-        taps.append((x, 4))
-        x = extra(x, 128, 256, 1, 0, "seq11")     # 3 -> 1 (VALID)
-        taps.append((x, 4))
-
-        locs, confs = [], []
-        for i, (tap, k) in enumerate(taps):
-            loc = TorchConv(4 * k, kernel=3, padding=1, dtype=self.dtype,
-                            name=f"loc_head_{i}", **xavier_conv_kwargs)(tap)
-            conf = TorchConv(self.num_classes * k, kernel=3, padding=1,
-                             dtype=self.dtype, name=f"conf_head_{i}",
-                             **xavier_conv_kwargs)(tap)
-            locs.append(flatten_head(loc, 4))
-            confs.append(flatten_head(conf, self.num_classes))
-        return (jnp.concatenate(locs, axis=1),
-                jnp.concatenate(confs, axis=1))
+        return ssd300_post_trunk(
+            conv4_3, x, num_classes=self.num_classes,
+            l2_norm_scale_init=self.l2_norm_scale_init, dtype=self.dtype)
 
 
 class _NeckBlock(nn.Module):
