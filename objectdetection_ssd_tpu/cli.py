@@ -133,6 +133,13 @@ def build_config(args) -> config_lib.Config:
     if pp_kw:
         cfg = cfg.replace(postprocess=dataclasses.replace(
             cfg.postprocess, **pp_kw))
+    if getattr(args, "pp", 0) and args.pp > 1:
+        if getattr(args, "qat", False):
+            raise SystemExit("--qat does not compose with --pp (the staged "
+                             "programs have no fake-quant path)")
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, pp_stages=args.pp,
+            pp_microbatches=max(getattr(args, "pp_microbatches", 1), 1)))
     q_kw = {}
     if getattr(args, "int8", False):
         q_kw["int8"] = True
@@ -299,13 +306,15 @@ def cmd_train(args) -> int:
             cfg.train, num_epochs=args.epochs))
     secondary = [f for f, v in (("--fsdp", getattr(args, "fsdp", 0)),
                                 ("--tp", getattr(args, "tp", 0)),
-                                ("--sp", getattr(args, "sp", 0)))
+                                ("--sp", getattr(args, "sp", 0)),
+                                ("--pp", getattr(args, "pp", 0)))
                  if v and v > 1]
     if len(secondary) > 1:
         raise SystemExit(f"{' and '.join(secondary)} are mutually exclusive "
-                         "(one secondary mesh axis; pick params-gathered "
-                         "ZeRO-3, channel-partitioned tensor parallelism, "
-                         "or H-partitioned spatial parallelism)")
+                         "(one strategy beyond data parallelism; pick "
+                         "params-gathered ZeRO-3, channel-partitioned "
+                         "tensor parallelism, H-partitioned spatial "
+                         "parallelism, or GPipe pipeline stages)")
     if getattr(args, "fsdp", 0) and args.fsdp > 1:
         import jax
         n = len(jax.devices())
@@ -646,6 +655,25 @@ def main(argv: Optional[List[str]] = None) -> int:
                               "axis; use when per-example activation "
                               "memory is the wall; mutually exclusive "
                               "with --fsdp/--tp")
+    p_train.add_argument("--pp", type=int, default=0, metavar="N",
+                         help="pipeline parallelism (GPipe): split the "
+                              "model into N stages on N devices and stream "
+                              "microbatches through them (SSD300 cuts: 2 = "
+                              "trunk|head, 3 = conv1-3|conv4-fc7|head, 4 = "
+                              "conv1-2|conv3-4|conv5-fc7|head); the full "
+                              "optax chain (StepLR/warmup/--grad-accum/"
+                              "--ema-decay) and checkpointing apply "
+                              "unchanged, and checkpoints stay monolithic "
+                              "(interchangeable with every other "
+                              "strategy); backward is rematerialized per "
+                              "stage, so --remat is implied; mutually "
+                              "exclusive with --fsdp/--tp/--sp and --qat")
+    p_train.add_argument("--pp-microbatches", type=int, default=1,
+                         metavar="M",
+                         help="microbatches streamed per --pp step "
+                              "(gradients MEANed over them — --grad-accum "
+                              "semantics; batch size must divide evenly; "
+                              "1 = bit-exact monolithic step)")
     p_train.add_argument("--freeze-trunk-stages", type=int, default=0,
                          choices=range(0, 6),
                          help="freeze the first N VGG stages (1=conv1 .. "

@@ -248,6 +248,16 @@ class TrainConfig:
     # Device mesh axes; plain data parallelism is the default.
     mesh_shape: Optional[Tuple[int, ...]] = None   # None = all devices on 'data'
     mesh_axis_names: Tuple[str, ...] = ("data",)
+    # Pipeline parallelism (GPipe, `train --pp N`): split the model into N
+    # stages on N devices and stream microbatches through them
+    # (parallel/pipeline.py).  0/1 = off.  Mutually exclusive with the
+    # mesh-axis strategies (fsdp/tp/sp) — PP is staged-jit, not GSPMD.
+    # SSD300 cuts: 2 = trunk|head, 3 = conv1-3|conv4-fc7|head,
+    # 4 = conv1-2|conv3-4|conv5-fc7|head (SSD300_STAGE_CUTS).
+    pp_stages: int = 0
+    # Microbatches streamed per step under --pp; gradients are MEANed over
+    # them (`--grad-accum` semantics; 1 = bit-exact monolithic step).
+    pp_microbatches: int = 1
     donate_state: bool = True
     # Gradient-checkpoint the forward at VGG stage boundaries
     # (jax.checkpoint + save_only_these_names over the trunk's

@@ -62,10 +62,86 @@ def vgg_frozen_prefixes(freeze_stages: int) -> Tuple[str, ...]:
     return tuple(out)
 
 
+def apply_vgg_stages(carry, *, first: int = 1, last: int = 5,
+                     dtype: Dtype = jnp.float32, freeze_stages: int = 0):
+    """Apply VGG-16 stages ``[first..last]`` (1-based, inclusive).
+
+    Must run inside an ``nn.compact`` ``__call__`` — the TorchConv
+    submodules register on the CALLER, so both the monolithic `VGG16Trunk`
+    and the pipeline-parallel trunk slices (`parallel/pipeline.py`) share
+    this ONE implementation and one param-name layout; a slice chain can
+    never drift from the monolith's forward.
+
+    Stage map (geometry for 300x300 inputs, reference `Model.py:131-162`):
+      1: conv1_1-2 + pool          -> (B, 150, 150,  64)
+      2: conv2_1-2 + pool          -> (B,  75,  75, 128)
+      3: conv3_1-3 + ceil pool     -> (B,  38,  38, 256)   (Model.py:137)
+      4: conv4_1-3                 -> conv4_3 tap (B, 38, 38, 512)
+      5: pool4 + conv5_1-3 + 3x3/1 pool5 + atrous fc6 + fc7
+                                   -> (B, 19, 19, 1024)    (Model.py:142-162)
+
+    Carry contract at each possible cut: input is ``x`` for ``first <= 4``
+    and the ``conv4_3`` tap for ``first == 5``; output is ``x`` for
+    ``last <= 3``, ``conv4_3`` for ``last == 4``, and the SSD tap pair
+    ``(conv4_3, x)`` for ``last == 5`` (conv4_3 is what stage 5 pools, so
+    a 4|5 cut carries exactly one tensor).
+    """
+
+    def block(x, features, n, name, mark=None):
+        for i in range(n):
+            x = TorchConv(features, kernel=3, padding=1, dtype=dtype,
+                          name=f"{name}_{i + 1}")(x)
+            x = nn.relu(x)
+            if mark:
+                x = checkpoint_name(x, mark)
+        return x
+
+    def cut(x, stage):
+        return jax.lax.stop_gradient(x) if freeze_stages >= stage else x
+
+    x = carry
+    conv4_3 = carry if first == 5 else None
+    if first <= 1 <= last:
+        x = block(x, 64, 2, "conv1", mark=VGG_HIRES_CKPT)
+        x = cut(x, 1)
+        x = checkpoint_name(max_pool(x, 2, 2), VGG_STAGE_CKPT)  # 300 -> 150
+    if first <= 2 <= last:
+        x = block(x, 128, 2, "conv2", mark=VGG_HIRES_CKPT)
+        x = cut(x, 2)
+        x = checkpoint_name(max_pool(x, 2, 2), VGG_STAGE_CKPT)  # 150 -> 75
+    if first <= 3 <= last:
+        x = block(x, 256, 3, "conv3")
+        x = cut(x, 3)
+        # 75 -> 38 (ceil-mode, Model.py:137)
+        x = checkpoint_name(max_pool(x, 2, 2, ceil_mode=True), VGG_STAGE_CKPT)
+    if first <= 4 <= last:
+        x = block(x, 512, 3, "conv4")
+        x = cut(x, 4)
+        conv4_3 = checkpoint_name(x, VGG_STAGE_CKPT)  # (B, 38, 38, 512)
+    if last < 4:
+        return x
+    if last == 4:
+        return conv4_3
+
+    x = max_pool(conv4_3, 2, 2)                 # 38 -> 19
+    x = block(x, 512, 3, "conv5")
+    x = max_pool(x, 3, 1, padding=1)            # 19 -> 19 (Model.py:142)
+
+    # Atrous fc6/fc7-as-convs (Model.py:149-162).
+    x = TorchConv(1024, kernel=3, padding=4, dilation=4,
+                  dtype=dtype, name="conv_fc6")(x)
+    x = nn.relu(x)
+    x = TorchConv(1024, kernel=1, dtype=dtype, name="conv_fc7")(x)
+    x = nn.relu(x)
+    return conv4_3, checkpoint_name(cut(x, 5), VGG_STAGE_CKPT)
+
+
 class VGG16Trunk(nn.Module):
     """VGG-16 features through conv_fc7, returning the two SSD taps.
 
     Returns (conv4_3 tap (B,38,38,512) BEFORE L2-norm, fc7 tap (B,19,19,1024)).
+    The stage graph lives in `apply_vgg_stages` (shared with the pipeline
+    slices).
 
     ``freeze_stages``: freeze the first N conv stages (1=conv1, ... 5=whole
     trunk incl. fc6/fc7) via stop_gradient at the stage boundary — the
@@ -84,45 +160,8 @@ class VGG16Trunk(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        def block(x, features, n, name, mark=None):
-            for i in range(n):
-                x = TorchConv(features, kernel=3, padding=1,
-                              dtype=self.dtype,
-                              name=f"{name}_{i + 1}")(x)
-                x = nn.relu(x)
-                if mark:
-                    x = checkpoint_name(x, mark)
-            return x
-
-        def cut(x, stage):
-            return jax.lax.stop_gradient(x) if self.freeze_stages >= stage \
-                else x
-
-        x = block(x, 64, 2, "conv1", mark=VGG_HIRES_CKPT)
-        x = cut(x, 1)
-        x = checkpoint_name(max_pool(x, 2, 2), VGG_STAGE_CKPT)  # 300 -> 150
-        x = block(x, 128, 2, "conv2", mark=VGG_HIRES_CKPT)
-        x = cut(x, 2)
-        x = checkpoint_name(max_pool(x, 2, 2), VGG_STAGE_CKPT)  # 150 -> 75
-        x = block(x, 256, 3, "conv3")
-        x = cut(x, 3)
-        # 75 -> 38 (ceil-mode, Model.py:137)
-        x = checkpoint_name(max_pool(x, 2, 2, ceil_mode=True), VGG_STAGE_CKPT)
-        x = block(x, 512, 3, "conv4")
-        x = cut(x, 4)
-        conv4_3 = checkpoint_name(x, VGG_STAGE_CKPT)  # (B, 38, 38, 512)
-
-        x = max_pool(conv4_3, 2, 2)                 # 38 -> 19
-        x = block(x, 512, 3, "conv5")
-        x = max_pool(x, 3, 1, padding=1)            # 19 -> 19 (Model.py:142)
-
-        # Atrous fc6/fc7-as-convs (Model.py:149-162).
-        x = TorchConv(1024, kernel=3, padding=4, dilation=4,
-                      dtype=self.dtype, name="conv_fc6")(x)
-        x = nn.relu(x)
-        x = TorchConv(1024, kernel=1, dtype=self.dtype, name="conv_fc7")(x)
-        x = nn.relu(x)
-        return conv4_3, checkpoint_name(cut(x, 5), VGG_STAGE_CKPT)
+        return apply_vgg_stages(x, first=1, last=5, dtype=self.dtype,
+                                freeze_stages=self.freeze_stages)
 
 
 class BasicBlock(nn.Module):

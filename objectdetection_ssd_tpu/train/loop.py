@@ -101,7 +101,20 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
         return loss.total, (loss, new_stats)
 
     grads, (loss, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
-    new_state = state.apply_gradients(grads, batch_stats=new_stats)
+    new_state = _apply_update(state, grads, ema_decay,
+                              batch_stats=new_stats)
+    metrics = {"loss": loss.total, "cls_loss": loss.cls,
+               "loc_loss": loss.loc,
+               "num_pos": loss.num_pos.astype(jnp.float32)}
+    return new_state, metrics
+
+
+def _apply_update(state: TrainState, grads, ema_decay: float,
+                  batch_stats=None) -> TrainState:
+    """Optimizer update + gated EMA — shared by the monolithic `train_step`
+    and the pipeline-parallel update program (`make_pp_steps`), so the two
+    training surfaces can never drift."""
+    new_state = state.apply_gradients(grads, batch_stats=batch_stats)
     if ema_decay and state.ema_params is not None:
         # Standard EMA: e <- d*e + (1-d)*p, fused into the same program
         # (one extra multiply-add per param — negligible next to the
@@ -116,10 +129,7 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
             lambda e, p: jnp.where(
                 updated, e * ema_decay + p * (1.0 - ema_decay), e),
             state.ema_params, new_state.params))
-    metrics = {"loss": loss.total, "cls_loss": loss.cls,
-               "loc_loss": loss.loc,
-               "num_pos": loss.num_pos.astype(jnp.float32)}
-    return new_state, metrics
+    return new_state
 
 
 def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray],
@@ -135,6 +145,79 @@ def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                          batch["mask"], priors, loss_config)
     return {"loss": loss.total, "cls_loss": loss.cls, "loc_loss": loss.loc,
             "num_pos": loss.num_pos.astype(jnp.float32)}
+
+
+def make_pp_steps(runner, split_fn, merge_fn, priors: jnp.ndarray,
+                  loss_config: LossConfig, ema_decay: float = 0.0,
+                  donate: bool = True):
+    """Train/eval steps driven by a GPipe `PipelineRunner` — the `--pp`
+    training surface.
+
+    Same ``(state, batch) -> (state, metrics)`` contract as
+    `make_jitted_steps`, so the Trainer's epoch loop, checkpointing, EMA,
+    StepLR and grad-accum (optax.MultiSteps inside the chain) all apply
+    unchanged.  Per step: split the monolithic params into per-stage trees
+    (``split_fn`` — a pure dict partition; stage!=0 trees transfer to their
+    stage device), stream microbatches through the runner's staged
+    forward+rematerialized backward, ``merge_fn`` the per-stage grads back
+    into the monolithic tree on the state's device, and apply them through
+    the SAME jitted update program the monolith uses (`_apply_update`).
+
+    With ``microbatches=1`` the step is numerically the monolithic
+    `train_step` (pinned in tests/test_pp_trainer.py); with M>1 the metrics
+    and update follow `--grad-accum` mean-over-microbatches semantics.
+    Dropout-free models only (the SSD300 family qualifies — `models/ssd.py`
+    `del train`); a dropout model would need per-stage rng plumbing.
+    """
+    dev0 = runner.devices[0]
+    last = runner.devices[-1]
+
+    def pp_loss(out, aux):
+        loc, conf = out
+        # Loss math in f32 regardless of the model's compute dtype
+        # (mirrors `train_step`).
+        loss = multibox_loss(loc.astype(jnp.float32),
+                             conf.astype(jnp.float32),
+                             aux["boxes"], aux["classes"], aux["mask"],
+                             priors, loss_config)
+        return loss.total, loss
+
+    update = jax.jit(functools.partial(_apply_update, ema_decay=ema_decay),
+                     donate_argnums=(0,) if donate else ())
+    eval_loss = jax.jit(lambda out, aux: pp_loss(out, aux)[1])
+
+    def _metrics(parts) -> Dict[str, jnp.ndarray]:
+        inv = 1.0 / len(parts)
+        tot = sum(p.total for p in parts) * inv
+        cls = sum(p.cls for p in parts) * inv
+        loc = sum(p.loc for p in parts) * inv
+        num_pos = sum(p.num_pos for p in parts)
+        return {"loss": tot, "cls_loss": cls, "loc_loss": loc,
+                "num_pos": num_pos.astype(jnp.float32)}
+
+    def pp_train_step(state: TrainState, batch: Dict[str, jnp.ndarray]
+                      ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        aux = {k: batch[k] for k in ("boxes", "classes", "mask")}
+        _, grads, parts = runner.loss_and_grads(
+            batch["images"], pp_loss, aux=aux,
+            params=split_fn(state.params), has_aux=True)
+        # Per-stage grads -> monolithic tree on the state's device (the
+        # cross-stage leaves transfer; stage-0 leaves are already home).
+        mono = jax.device_put(merge_fn(grads), dev0)
+        new_state = update(state, mono)
+        return new_state, _metrics(parts)
+
+    def pp_eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]
+                     ) -> Dict[str, jnp.ndarray]:
+        aux = {k: jax.device_put(batch[k], last)
+               for k in ("boxes", "classes", "mask")}
+        out = runner.forward(batch["images"], params=split_fn(state.params))
+        loss = eval_loss(out, aux)
+        return {"loss": loss.total, "cls_loss": loss.cls,
+                "loc_loss": loss.loc,
+                "num_pos": loss.num_pos.astype(jnp.float32)}
+
+    return pp_train_step, pp_eval_step
 
 
 def train_compiler_options(scoped_vmem_limit_kib: Optional[int]

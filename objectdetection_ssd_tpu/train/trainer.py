@@ -35,16 +35,48 @@ class Trainer:
                  epoch_callback: Optional[Callable[[int, "Trainer"], None]]
                  = None,
                  model=None, priors=None,
-                 init_params=None, init_batch_stats=None):
+                 init_params=None, init_batch_stats=None,
+                 pp_build=None):
         """``init_params`` / ``init_batch_stats``: converted pretrained
         weights (see models/convert.py) merged over the random init — the
         reference's flagship recipe starts from a pretrained torchvision
         trunk (`Model.py:131-161`).  Partial trees are fine (e.g. only
-        ``{"trunk": ...}``); every provided leaf must match the model."""
+        ``{"trunk": ...}``); every provided leaf must match the model.
+
+        ``pp_build``: override for the pipeline-parallel stage builder used
+        when ``config.train.pp_stages > 1`` — a callable
+        ``(model, params, num_stages, devices, microbatches) ->
+        (runner, split_fn, merge_fn)``.  Default dispatches on the model
+        family (`parallel.pipeline.build_pipeline_for`, SSD300)."""
         setup_logging()
         self.config = config
         self.train_loader = train_loader
         self.eval_loader = eval_loader
+        self._pp = None
+        self._pp_build = pp_build
+        pp = config.train.pp_stages
+        if pp > 1:
+            # Pipeline parallelism owns device placement (staged-jit over
+            # devices[0..N-1]); the mesh degenerates to the first device so
+            # the shared shard_batch/local_batch_size plumbing stays valid.
+            if mesh is not None:
+                raise ValueError(
+                    "--pp provides its own device placement; do not pass a "
+                    "mesh (fsdp/tp/sp and pp are mutually exclusive)")
+            if jax.process_count() > 1:
+                raise ValueError(
+                    "--pp is single-controller (one process drives all "
+                    "stages); it does not compose with multi-host runs")
+            if len(jax.devices()) < pp:
+                raise ValueError(
+                    f"--pp {pp} needs {pp} devices; "
+                    f"{len(jax.devices())} available")
+            mb = max(config.train.pp_microbatches, 1)
+            if config.data.batch_size % mb:
+                raise ValueError(
+                    f"batch size {config.data.batch_size} not divisible by "
+                    f"--pp-microbatches {mb}")
+            mesh = mesh_lib.create_mesh((1,), devices=jax.devices()[:1])
         self.mesh = mesh if mesh is not None else mesh_lib.create_mesh(
             config.train.mesh_shape, config.train.mesh_axis_names)
         self.epoch_callback = epoch_callback
@@ -127,6 +159,14 @@ class Trainer:
             self.state = mesh_lib.replicate(self.state, self.mesh)
 
         self._state_sharding = state_sharding
+        if pp > 1:
+            from objectdetection_ssd_tpu.parallel import pipeline as pp_lib
+            build = (self._pp_build if self._pp_build is not None
+                     else pp_lib.build_pipeline_for)
+            runner, split_fn, merge_fn = build(
+                self.model, self.state.params, pp,
+                jax.devices()[:pp], max(config.train.pp_microbatches, 1))
+            self._pp = (runner, split_fn, merge_fn)
         self._build_steps()
         self.ckpt = CheckpointManager(
             config.train.checkpoint_dir,
@@ -144,6 +184,18 @@ class Trainer:
 
     def _build_steps(self, quant_ste=None) -> None:
         cfg = self.config
+        if self._pp is not None:
+            if quant_ste is not None:
+                raise ValueError(
+                    "--qat does not compose with --pp (the staged programs "
+                    "have no fake-quant path); QAT-train on the GSPMD "
+                    "strategies, then serve the checkpoint however you like")
+            runner, split_fn, merge_fn = self._pp
+            self.train_step, self.eval_step = loop_lib.make_pp_steps(
+                runner, split_fn, merge_fn, self.priors, cfg.loss,
+                ema_decay=cfg.train.ema_decay,
+                donate=cfg.train.donate_state)
+            return
         self.train_step, self.eval_step = loop_lib.make_jitted_steps(
             self.priors, cfg.loss, mesh=self.mesh,
             donate=cfg.train.donate_state, seed=cfg.train.seed,

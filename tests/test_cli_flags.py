@@ -105,6 +105,28 @@ def test_fsdp_rejects_indivisible_device_count():
         cli.cmd_train(args)
 
 
+def test_pp_flags_reach_config():
+    cfg = cli.build_config(_parse(["train", "--pp", "2",
+                                   "--pp-microbatches", "4"]))
+    assert cfg.train.pp_stages == 2
+    assert cfg.train.pp_microbatches == 4
+    cfg = cli.build_config(_parse(["train"]))
+    assert cfg.train.pp_stages == 0
+    assert cfg.train.pp_microbatches == 1
+
+
+def test_pp_mutually_exclusive_with_mesh_strategies():
+    args = _parse(["train", "--pp", "2", "--tp", "2"])
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        cli.cmd_train(args)
+
+
+def test_pp_rejects_qat():
+    args = _parse(["train", "--pp", "2", "--qat"])
+    with pytest.raises(SystemExit, match="qat"):
+        cli.build_config(args)
+
+
 def test_freeze_stages_rejected_for_resnet34():
     args = _parse(["train", "--backbone", "resnet34",
                    "--freeze-trunk-stages", "2"])

@@ -20,7 +20,9 @@ import numpy as np
 import pytest
 
 from objectdetection_ssd_tpu.parallel.pipeline import (
-    PipelineRunner, build_ssd300_pipeline, split_ssd300_params)
+    SSD300_STAGE_CUTS, PipelineRunner, build_pipeline_for,
+    build_ssd300_pipeline, merge_ssd300_stage_trees, split_ssd300_params,
+    split_ssd300_params_n)
 
 
 class _Stage0(nn.Module):
@@ -54,11 +56,9 @@ def _tiny():
     mono = _Mono()
     variables = mono.init(jax.random.PRNGKey(1), x)
     p = variables["params"]
-    stage_params = [{"params": {"s0": p["s0"]}}, {"params": {"s1": p["s1"]}}]
-    fns = [_Stage0(name="s0").apply, _Stage1(name="s1").apply]
-    # Stage modules are given the monolith's names so the param subtrees map
-    # verbatim -- but apply() expects the subtree rooted at the stage, so
-    # re-root:
+    # The monolith names its stages s0/s1 so the param subtrees map
+    # verbatim -- but apply() expects the subtree rooted AT the stage, so
+    # re-root each subtree under a bare "params" key:
     stage_params = [{"params": p["s0"]}, {"params": p["s1"]}]
     fns = [_Stage0().apply, _Stage1().apply]
     return mono, variables, fns, stage_params, x
@@ -165,6 +165,104 @@ def test_runner_validations():
     runner = PipelineRunner(fns, stage_params, microbatches=3)
     with pytest.raises(ValueError, match="divisible"):
         runner.forward(x)  # 8 rows, 3 microbatches
+
+
+def test_loss_stays_on_device():
+    """The mean loss comes back as a device scalar on the LAST stage's
+    device (no per-microbatch host sync — round-3 advisor finding)."""
+    _, _, fns, stage_params, x = _tiny()
+    runner = PipelineRunner(fns, stage_params, devices=jax.devices()[:2],
+                            microbatches=2)
+    loss, _ = runner.loss_and_grads(x, lambda out: jnp.mean(out ** 2))
+    assert isinstance(loss, jax.Array)
+    assert loss.devices() == {jax.devices()[1]}
+
+
+def test_per_call_params_override():
+    """`params=` supplies fresh per-stage trees (the trainer passes the
+    CURRENT weights each step); zeroed params must zero the output."""
+    _, _, fns, stage_params, x = _tiny()
+    runner = PipelineRunner(fns, stage_params, microbatches=2)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, stage_params)
+    np.testing.assert_array_equal(
+        np.asarray(runner.forward(x, params=zeros)), 0.0)
+    # and the default params still give the original answer afterwards
+    want = runner.forward(x)
+    assert np.abs(np.asarray(want)).sum() > 0
+
+
+def test_loss_grad_cache_is_bounded():
+    _, _, fns, stage_params, x = _tiny()
+    runner = PipelineRunner(fns, stage_params, microbatches=1)
+    for i in range(runner._loss_grad_cache_max + 4):
+        runner.loss_and_grads(x, lambda out, i=i: jnp.mean(out ** 2) + 0 * i)
+    assert len(runner._loss_grad_cache) <= runner._loss_grad_cache_max
+
+
+def _fake_ssd300_params():
+    """Structure-only SSD300 param tree (tiny leaves, real key layout)."""
+    from objectdetection_ssd_tpu.models.backbones import VGG_STAGE_PARAMS
+    trunk = {n: {"kernel": jnp.zeros((1,)) + i}
+             for i, grp in enumerate(VGG_STAGE_PARAMS) for n in grp}
+    p = {"trunk": trunk, "l2norm_4_3": {"scale": jnp.ones((4,))}}
+    for name in ("seq8_1", "seq8_2", "loc_head_0", "conf_head_0"):
+        p[name] = {"kernel": jnp.zeros((2,)), "bias": jnp.zeros((2,))}
+    return p
+
+
+@pytest.mark.parametrize("n", sorted(SSD300_STAGE_CUTS))
+def test_nstage_split_is_lossless_partition(n):
+    """split_ssd300_params_n covers every param exactly once and
+    merge_ssd300_stage_trees is its exact inverse (any grads produced
+    per-stage reassemble into the monolithic optimizer tree)."""
+    p = _fake_ssd300_params()
+    stages = split_ssd300_params_n(p, n)
+    assert len(stages) == n
+    # disjoint trunk coverage
+    seen = set()
+    for s in stages[:-1]:
+        names = set(s["params"]["trunk"])
+        assert not (names & seen)
+        seen |= names
+    assert seen == set(p["trunk"])
+    assert set(stages[-1]["params"]) == set(p) - {"trunk"}
+    merged = merge_ssd300_stage_trees(stages)
+    assert jax.tree_util.tree_structure(merged) == \
+        jax.tree_util.tree_structure(p)
+    for a, b in zip(jax.tree_util.tree_leaves(merged),
+                    jax.tree_util.tree_leaves(p)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_nstage_split_rejects_unknown_count():
+    with pytest.raises(ValueError, match="unsupported"):
+        split_ssd300_params_n(_fake_ssd300_params(), 5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n", (3, 4))
+def test_ssd300_nstage_chain_matches_monolith(n):
+    """Deeper trunk cuts (--pp 3 / --pp 4): the slice chain is numerically
+    the monolithic SSD300 forward (shared `apply_vgg_stages` body)."""
+    from objectdetection_ssd_tpu.models.ssd import SSD300
+
+    model = SSD300()
+    x = jnp.asarray(
+        np.random.RandomState(0).rand(2, 300, 300, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
+    want_loc, want_conf = jax.jit(model.apply)(variables, x)
+
+    runner, split_fn, merge_fn = build_pipeline_for(
+        model, variables["params"], n, devices=jax.devices()[:n],
+        microbatches=2)
+    loc, conf = runner.forward(x)
+    np.testing.assert_allclose(np.asarray(loc), np.asarray(want_loc),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(conf), np.asarray(want_conf),
+                               rtol=1e-5, atol=1e-5)
+    merged = merge_fn(split_fn(variables["params"]))
+    assert jax.tree_util.tree_structure(merged) == \
+        jax.tree_util.tree_structure(variables["params"])
 
 
 @pytest.mark.slow
