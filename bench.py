@@ -39,6 +39,9 @@ def main() -> int:
     # int8 MXU peak is 2x bf16).  Calibration on one batch of the bench's
     # own random inputs — scale VALUES don't affect throughput.
     int8 = "--int8" in argv
+    # `--no-int8-chain`: disable the requant chain (A/B; chaining is the
+    # default — bit-exact, see infer/quant.py:chain_scales).
+    int8_chain = "--no-int8-chain" not in argv
     # `--vmem-kib=N` overrides the scoped-VMEM budget (sweep tool; the
     # measured per-graph optima live in PostprocessConfig and RESULTS.md).
     vmem_kib = None
@@ -49,7 +52,8 @@ def main() -> int:
     # stack to attribute the e2e residual (diagnostic, not the headline).
     forward_only = "--forward-only" in argv
     argv = [a for a in argv
-            if a not in ("--resnet34", "--int8", "--forward-only")
+            if a not in ("--resnet34", "--int8", "--forward-only",
+                         "--no-int8-chain")
             and not a.startswith("--vmem-kib=")]
     batch_size = int(argv[0]) if argv else 256
     on_tpu = jax.devices()[0].platform != "cpu"
@@ -76,8 +80,12 @@ def main() -> int:
         stats = quant_lib.calibrate(
             model, params["params"], [np.asarray(images[:8], np.float32)],
             batch_stats=params.get("batch_stats"))
+        qtree = quant_lib.act_scales(stats)
+        if int8_chain:
+            qtree = quant_lib.chain_scales(
+                qtree, "resnet34" if resnet34 else "vgg16")
         params = dict(params, quant=jax.tree_util.tree_map(
-            jnp.asarray, quant_lib.act_scales(stats)))
+            jnp.asarray, qtree))
         name += "_int8"
     if forward_only:
         name += "_fwdonly"

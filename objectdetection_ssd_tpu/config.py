@@ -85,6 +85,14 @@ class ModelConfig:
     # Compute dtype for the conv stack. Params stay f32; bf16 activations
     # keep the MXU fed at full rate on TPU.
     compute_dtype: str = "float32"
+    # VGG trunk convs whose filter gradient routes through the Pallas dWT
+    # kernel (ops/dw_pallas.py) during training.  The round-4 attribution
+    # measured the conv1 block's dW at ~33% MFU under XLA's native
+    # lowering (the (3,3,64,64)/(3,3,3,64) outputs sit at half/quarter
+    # MXU lane tiles); the kernel computes dW^T with 9*Cin on the lane
+    # axis instead.  Inference/int8 graphs ignore this (no dW there).
+    # CLI: `train --dw-pallas` selects the measured-best set.
+    dw_pallas_convs: Sequence[str] = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -299,6 +307,18 @@ class QuantConfig:
     # Keep the loc/conf heads f32 (the usual PTQ accuracy recipe); flip for
     # full-model quantization studies.
     quantize_heads: bool = False
+    # Chain the requantize between consecutive quantized convs: each
+    # chained conv's epilogue emits int8 directly in the NEXT conv's
+    # activation scale (one fused int32->int8 rescale; no bf16
+    # materialization between them — half the inter-conv HBM bytes).
+    # Bit-exact vs the unchained graph (infer/quant.py:chain_scales,
+    # pinned in tests), so it is ON by default; --no-int8-chain exists
+    # for A/B measurement.
+    chain_requant: bool = True
+    # Ignore a checkpoint dir's saved quant_scales.json and calibrate
+    # fresh scales (the explicit escape from the fingerprint binding —
+    # see infer/quant.py:verify_scales_binding).
+    recalibrate: bool = False
     # Quantization-aware fine-tuning (`train --qat`): calibrate on the
     # current weights, then train through the differentiable fake-quant
     # path (straight-through estimator) so the checkpoint serves int8 with

@@ -38,6 +38,102 @@ def exact_eval_postprocess(pp: PostprocessConfig) -> PostprocessConfig:
         nms_unrolled=False)
 
 
+def _evaluate_local(detector, records, bs, prep,
+                    det_boxes, det_classes, det_scores,
+                    gt_boxes, gt_classes) -> None:
+    """Single-process batch loop (the original path)."""
+    import jax
+    # Thread pool: decode (PIL) and the native resample both release the
+    # GIL, so threads overlap host preprocessing with the device batches.
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        prepared = pool.map(prep, records)
+        for start in range(0, len(records), bs):
+            chunk = [next(prepared) for _ in
+                     range(min(bs, len(records) - start))]
+            imgs = [c[0] for c in chunk]
+            for _, norm, classes in chunk:
+                gt_boxes.append(norm)
+                gt_classes.append(classes)
+            # Pad the tail batch to the static batch size (one compilation).
+            n_real = len(imgs)
+            while len(imgs) < bs:
+                imgs.append(imgs[-1])
+            dets = detector.detect_batch(np.stack(imgs))
+            # ONE host pull for the whole batch: per-row np.asarray on the
+            # device arrays would issue 4 transfers per image (hundreds of
+            # relay round-trips per batch — measured 7.7 img/s; this form
+            # restores device-rate evaluation).
+            dets = jax.device_get(dets)
+            for i in range(n_real):
+                valid = dets.valid[i]
+                det_boxes.append(dets.boxes_xyxy[i][valid])
+                det_classes.append(dets.classes[i][valid])
+                det_scores.append(dets.scores[i][valid])
+
+
+def local_detection_rows(tree):
+    """This process's rows of a batch-sharded global Detections pytree,
+    in global row order (addressable shards sorted by batch offset)."""
+    import jax
+
+    def rows(a):
+        shards = sorted(a.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+    return jax.tree_util.tree_map(rows, tree)
+
+
+def _evaluate_multihost(detector, records, bs, prep,
+                        det_boxes, det_classes, det_scores,
+                        gt_boxes, gt_classes) -> None:
+    """Multi-host batch loop: every process prepares ITS rows of each
+    global batch (`local_shard_bounds` — the training loader's sharding),
+    the Detector assembles the global array, and detections + padded GT
+    allgather back so EVERY process computes the identical full mAP
+    (mirrors the 2-process Trainer equivalence contract;
+    tests/test_distributed_multiprocess.py pins eval equality too).
+    """
+    import jax
+    from jax.experimental import multihost_utils
+    from objectdetection_ssd_tpu.parallel import distributed
+
+    lo, hi = distributed.local_shard_bounds(bs)
+    # Fixed GT pad for the allgather (ragged lists can't cross hosts):
+    # sized to the batch's real max via a host-side allreduce-max per batch.
+    for start in range(0, len(records), bs):
+        n_real = min(bs, len(records) - start)
+        # Global padding by repetition keeps every process's slice full.
+        idx = [min(start + k, len(records) - 1) for k in range(bs)]
+        local = [prep(records[i]) for i in idx[lo:hi]]
+        imgs = np.stack([l[0] for l in local])
+        maxb = max(1, max(len(l[2]) for l in local))
+        maxb = int(multihost_utils.process_allgather(
+            np.asarray([maxb], np.int32), tiled=True).max())
+        gtb = np.zeros((hi - lo, maxb, 4), np.float32)
+        gtc = np.zeros((hi - lo, maxb), np.int32)
+        gtn = np.zeros((hi - lo,), np.int32)
+        for r, (_, norm, classes) in enumerate(local):
+            gtn[r] = len(classes)
+            gtb[r, :len(classes)] = norm
+            gtc[r, :len(classes)] = classes
+
+        dets = detector.detect_batch(imgs)
+        local_dets = local_detection_rows(dets)
+        g_dets = multihost_utils.process_allgather(local_dets, tiled=True)
+        g_gtb, g_gtc, g_gtn = multihost_utils.process_allgather(
+            (gtb, gtc, gtn), tiled=True)
+        for i in range(n_real):
+            n = int(g_gtn[i])
+            gt_boxes.append(g_gtb[i, :n])
+            gt_classes.append(g_gtc[i, :n])
+            valid = g_dets.valid[i]
+            det_boxes.append(g_dets.boxes_xyxy[i][valid])
+            det_classes.append(g_dets.classes[i][valid])
+            det_scores.append(g_dets.scores[i][valid])
+
+
 def evaluate_records(config: Config, params: Any, records: List[ImageRecord],
                      batch_stats: Any = None,
                      batch_size: Optional[int] = None,
@@ -71,6 +167,14 @@ def evaluate_records(config: Config, params: Any, records: List[ImageRecord],
     evaluates on one GPU, SURVEY.md §3.5).  The batch size is rounded up
     to a multiple of the mesh's batch ways so every shard is non-empty.
     """
+    import jax as _jax
+    if _jax.process_count() > 1 and mesh is None and (
+            detector is None or getattr(detector, "mesh", None) is None):
+        raise ValueError(
+            "multi-host evaluation needs a global mesh spanning every "
+            "process's devices (cmd_eval builds one via "
+            "distributed.create_global_mesh); a mesh-less Detector would "
+            "device_put full host batches onto non-addressable devices")
     if detector is None:
         detector = Detector(config, params, batch_stats,
                             postprocess_config=exact_eval_postprocess(
@@ -107,34 +211,15 @@ def evaluate_records(config: Config, params: Any, records: List[ImageRecord],
             img = data_pipeline.quantize_uint8(img)
         return img, norm, r.classes
 
-    # Thread pool: decode (PIL) and the native resample both release the
-    # GIL, so threads overlap host preprocessing with the device batches.
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        prepared = pool.map(prep, records)
-        for start in range(0, len(records), bs):
-            chunk = [next(prepared) for _ in
-                     range(min(bs, len(records) - start))]
-            imgs = [c[0] for c in chunk]
-            for _, norm, classes in chunk:
-                gt_boxes.append(norm)
-                gt_classes.append(classes)
-            # Pad the tail batch to the static batch size (one compilation).
-            n_real = len(imgs)
-            while len(imgs) < bs:
-                imgs.append(imgs[-1])
-            dets = detector.detect_batch(np.stack(imgs))
-            # ONE host pull for the whole batch: per-row np.asarray on the
-            # device arrays would issue 4 transfers per image (hundreds of
-            # relay round-trips per batch — measured 7.7 img/s; this form
-            # restores device-rate evaluation).
-            import jax
-            dets = jax.device_get(dets)
-            for i in range(n_real):
-                valid = dets.valid[i]
-                det_boxes.append(dets.boxes_xyxy[i][valid])
-                det_classes.append(dets.classes[i][valid])
-                det_scores.append(dets.scores[i][valid])
+    import jax
+    if jax.process_count() > 1:
+        _evaluate_multihost(detector, records, bs, prep,
+                            det_boxes, det_classes, det_scores,
+                            gt_boxes, gt_classes)
+    else:
+        _evaluate_local(detector, records, bs, prep,
+                        det_boxes, det_classes, det_scores,
+                        gt_boxes, gt_classes)
 
     if pr_curves_path:
         aps, mean_ap, curves = voc_map(det_boxes, det_classes, det_scores,

@@ -131,7 +131,8 @@ class Detector:
     def __init__(self, config: Config, params: Any,
                  batch_stats: Any = None,
                  postprocess_config: Optional[PostprocessConfig] = None,
-                 mesh=None, quant: Any = None):
+                 mesh=None, quant: Any = None,
+                 model=None, priors=None):
         """``mesh``: optional `jax.sharding.Mesh` with a ``data`` axis —
         batches are sharded over it and params replicated, scaling batched
         inference across chips the same way the train step does.  A mesh
@@ -148,13 +149,23 @@ class Detector:
         ``quant``: optional int8-PTQ activation-scale tree from
         `infer.quant.act_scales` — convs with an entry run int8 on the MXU
         (see `infer/quant.py`); the f32 params are quantized at trace
-        time, so the same checkpoint drives both modes."""
+        time, so the same checkpoint drives both modes.
+
+        ``model``/``priors``: override the registry model (tests,
+        custom architectures) — mirrors the Trainer's injection points.
+
+        Multi-host (``jax.process_count() > 1`` with a global ``mesh``):
+        `detect_batch` takes this PROCESS'S rows of the global batch
+        (`parallel.distributed.local_shard_bounds`) and assembles the
+        global array from every process's contribution, exactly like the
+        training loader path."""
         self.config = config
-        self.model = build_model(config.model)
+        self.model = model if model is not None else build_model(config.model)
         self.params = params
         self.batch_stats = batch_stats
         self.pp_config = postprocess_config or config.postprocess
         self.priors = jnp.asarray(
+            priors if priors is not None else
             priors_lib.priors_for_model(config.model, config.priors))
         self.mesh = mesh
         self.quant = quant
@@ -203,7 +214,18 @@ class Detector:
                 out_shardings=data, compiler_options=copts)
 
     def detect_batch(self, images: jnp.ndarray) -> Detections:
-        """(B, S, S, 3) preprocessed images -> Detections (normalized boxes)."""
+        """(B, S, S, 3) preprocessed images -> Detections (normalized boxes).
+
+        Multi-host: ``images`` is this process's LOCAL rows; the global
+        batch assembles from every process's contribution
+        (`parallel.mesh.shard_batch` mechanics) and the returned Detections
+        leaves are global arrays sharded over the mesh's batch axes —
+        gather with `local_detection_rows` + `process_allgather`
+        (eval/evaluate.py does this)."""
+        if self.mesh is not None and jax.process_count() > 1:
+            from objectdetection_ssd_tpu.parallel import mesh as mesh_lib
+            images = mesh_lib.shard_batch(
+                {"images": np.asarray(images)}, self.mesh)["images"]
         return self._infer(self.params, self.batch_stats, images)
 
     def detect_images(self, paths: Sequence[str],

@@ -63,7 +63,8 @@ def vgg_frozen_prefixes(freeze_stages: int) -> Tuple[str, ...]:
 
 
 def apply_vgg_stages(carry, *, first: int = 1, last: int = 5,
-                     dtype: Dtype = jnp.float32, freeze_stages: int = 0):
+                     dtype: Dtype = jnp.float32, freeze_stages: int = 0,
+                     dw_pallas_convs: Tuple[str, ...] = ()):
     """Apply VGG-16 stages ``[first..last]`` (1-based, inclusive).
 
     Must run inside an ``nn.compact`` ``__call__`` — the TorchConv
@@ -89,8 +90,10 @@ def apply_vgg_stages(carry, *, first: int = 1, last: int = 5,
 
     def block(x, features, n, name, mark=None):
         for i in range(n):
+            conv_name = f"{name}_{i + 1}"
             x = TorchConv(features, kernel=3, padding=1, dtype=dtype,
-                          name=f"{name}_{i + 1}")(x)
+                          dw_pallas=conv_name in dw_pallas_convs,
+                          name=conv_name)(x)
             x = nn.relu(x)
             if mark:
                 x = checkpoint_name(x, mark)
@@ -157,11 +160,15 @@ class VGG16Trunk(nn.Module):
 
     dtype: Dtype = jnp.float32
     freeze_stages: int = 0
+    # Trunk conv names (e.g. "conv1_2") whose filter gradient routes
+    # through the Pallas dWT kernel — see TorchConv.dw_pallas.
+    dw_pallas_convs: Tuple[str, ...] = ()
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         return apply_vgg_stages(x, first=1, last=5, dtype=self.dtype,
-                                freeze_stages=self.freeze_stages)
+                                freeze_stages=self.freeze_stages,
+                                dw_pallas_convs=self.dw_pallas_convs)
 
 
 class BasicBlock(nn.Module):

@@ -58,6 +58,22 @@ class Int8Conv(nn.Module):
     rounding passes gradients straight through while clip saturation
     zeroes them (standard STE).  Scales are stop-gradiented (treated as
     calibrated constants).
+
+    Requant CHAINING (round-4 throughput fix, `infer/quant.py:chain_scales`):
+      * int8 INPUT — an ``x`` already in int8 is taken as pre-quantized in
+        THIS conv's activation scale (the upstream conv emitted it);
+      * int8 OUTPUT — when ``out_scale`` (the NEXT conv's activation
+        scale) is given, the epilogue requantizes straight to int8:
+        ``clip(round(y/s_next))`` — one fused rescale, no bf16/f32
+        materialization between chained convs (HALF the inter-conv HBM
+        bytes, and the next conv's separate quantize pass disappears).
+        EXACT by construction: ``y`` is first rounded through the compute
+        dtype exactly as the unchained path materializes it, and
+        relu/max-pool between convs commute with symmetric quantization
+        (monotone; pinned bit-for-bit in tests/test_quant.py).
+      * QAT (``straight_through``) ignores ``out_scale`` — chaining is an
+        inference-graph rewrite with identical numbers, so QAT-trained
+        scales serve chained unchanged.
     """
 
     features: int
@@ -73,7 +89,8 @@ class Int8Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
-                 act_scale: jnp.ndarray) -> jnp.ndarray:
+                 act_scale: jnp.ndarray,
+                 out_scale: jnp.ndarray = None) -> jnp.ndarray:
         w = self.param(
             "kernel", self.kernel_init,
             (self.kernel, self.kernel, x.shape[-1], self.features))
@@ -96,19 +113,65 @@ class Int8Conv(nn.Module):
             y = jax.lax.conv_general_dilated(x_fq, w_fq, **conv_kw)
         else:
             w_q = jnp.clip(jnp.round(w / s_w), -127, 127).astype(jnp.int8)
-            x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_a),
-                           -127, 127).astype(jnp.int8)
+            if x.dtype == jnp.int8:
+                # Chained input: the upstream conv already emitted int8 in
+                # THIS conv's activation scale (out_scale threading,
+                # infer/quant.py:chain_scales).
+                x_q = x
+            else:
+                x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_a),
+                               -127, 127).astype(jnp.int8)
             y = jax.lax.conv_general_dilated(
                 x_q, w_q, preferred_element_type=jnp.int32, **conv_kw)
             y = y.astype(jnp.float32) * (s_a * s_w)
         if self.use_bias:
             y = y + self.param("bias", self.bias_init,
                                (self.features,)).astype(jnp.float32)
-        return y.astype(self.dtype)
+        y = y.astype(self.dtype)
+        if out_scale is not None and not self.straight_through:
+            # Chained output: requantize the epilogue straight to the NEXT
+            # conv's int8 domain.  Rounding through self.dtype FIRST keeps
+            # this bit-identical to the unchained path (which materializes
+            # y in the compute dtype before the next conv quantizes it).
+            s_o = jnp.maximum(out_scale.astype(jnp.float32), 1e-12)
+            return jnp.clip(jnp.round(y.astype(jnp.float32) / s_o),
+                            -127, 127).astype(jnp.int8)
+        return y
+
+
+class _DWPallasConv(nn.Module):
+    """3x3/s1/p1 conv routed through the Pallas filter-gradient kernel
+    (`ops/dw_pallas.py`) — identical forward and dX (XLA-native convs),
+    custom dW.  Param-path-compatible with the ``nn.Conv`` child of
+    `TorchConv` (same ``Conv_0/{kernel,bias}`` names/shapes)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from objectdetection_ssd_tpu.ops import dw_pallas
+        w = self.param("kernel", self.kernel_init,
+                       (3, 3, x.shape[-1], self.features))
+        y = dw_pallas.conv3x3p1(x.astype(self.dtype), w.astype(self.dtype))
+        if self.use_bias:
+            y = y + self.param("bias", self.bias_init,
+                               (self.features,)).astype(self.dtype)
+        return y
 
 
 class TorchConv(nn.Module):
     """Conv2D with torch-style symmetric explicit padding and dilation.
+
+    ``dw_pallas``: route the backward's FILTER gradient through the Pallas
+    dWT kernel (`ops/dw_pallas.py`) — a measured train-step win for the
+    early high-resolution/low-channel convs whose dW tiles the MXU at
+    ~33% under XLA's native lowering (benchmarks/dw_experiment.py).
+    3x3/stride-1/pad-1 geometry only; ignored when a quant collection
+    selects the int8/QAT path (inference graphs have no dW).
 
     Quantization hooks (see `infer/quant.py`):
       * calibration — applying the model with ``mutable=["quant_stats"]``
@@ -131,6 +194,7 @@ class TorchConv(nn.Module):
     dtype: Dtype = jnp.float32
     kernel_init: Callable = nn.initializers.lecun_normal()
     bias_init: Callable = nn.initializers.zeros
+    dw_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -149,13 +213,23 @@ class TorchConv(nn.Module):
                    dtype=self.dtype, kernel_init=self.kernel_init,
                    bias_init=self.bias_init)
         if self.has_variable("quant", "act_scale"):
+            # Optional chained-epilogue scale (the NEXT conv's act_scale);
+            # present only on edges infer/quant.py:chain_scales marked.
+            out_scale = (self.get_variable("quant", "out_scale")
+                         if self.has_variable("quant", "out_scale") else None)
             return Int8Conv(name="Conv_0", **geo)(
-                x, self.get_variable("quant", "act_scale"))
+                x, self.get_variable("quant", "act_scale"), out_scale)
         if self.has_variable("quant_ste", "act_scale"):
             # QAT: same scales under a different collection name select the
             # differentiable fake-quant path (see infer/quant.py).
             return Int8Conv(name="Conv_0", straight_through=True, **geo)(
                 x, self.get_variable("quant_ste", "act_scale"))
+        if (self.dw_pallas and self.kernel == 3 and self.stride == 1
+                and self.padding == 1 and self.dilation == 1):
+            return _DWPallasConv(
+                name="Conv_0", features=self.features,
+                use_bias=self.use_bias, dtype=self.dtype,
+                kernel_init=self.kernel_init, bias_init=self.bias_init)(x)
         p = self.padding
         return nn.Conv(
             features=self.features,
@@ -193,6 +267,18 @@ def max_pool(x: jnp.ndarray, window: int, stride: int,
         return lo, hi
 
     pads = (pad_amounts(h), pad_amounts(w))  # spatial dims only
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        # int8 pooling (requant-chained inference, `Int8Conv` docstring):
+        # max-pool commutes with monotone symmetric quantization, so the
+        # chained graph pools the int8 tensor directly — half the HBM
+        # bytes through the pool.  flax's nn.max_pool initializes with
+        # -inf (float-only); integers need the dtype's own identity, and
+        # the padding value (INT_MIN) can never win against real values
+        # (int8 quant output is clipped to [-127, 127]).
+        return jax.lax.reduce_window(
+            x, jnp.array(jnp.iinfo(x.dtype).min, x.dtype), jax.lax.max,
+            (1, window, window, 1), (1, stride, stride, 1),
+            ((0, 0), pads[0], pads[1], (0, 0)))
     # Perf note (measured on v5e, bs=128 full train step): leaving this as
     # reduce_window is FASTER (690 img/s) than a reshape+max formulation of
     # the non-overlapping pools (637 img/s) — JAX lowers the max-pool

@@ -117,6 +117,10 @@ class SSD300(nn.Module):
     # Freeze the first N VGG stages (fine-tuning from pretrained weights);
     # see VGG16Trunk.freeze_stages.
     freeze_stages: int = 0
+    # Trunk convs whose filter gradient routes through the Pallas dWT
+    # kernel (train-step MFU fix for the conv1 block — see
+    # ops/dw_pallas.py and ModelConfig.dw_pallas_convs).
+    dw_pallas_convs: Tuple[str, ...] = ()
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -125,6 +129,7 @@ class SSD300(nn.Module):
         x = prepare_input(x, self.dtype)
         conv4_3, x = VGG16Trunk(dtype=self.dtype,
                                 freeze_stages=self.freeze_stages,
+                                dw_pallas_convs=self.dw_pallas_convs,
                                 name="trunk")(x)
         return ssd300_post_trunk(
             conv4_3, x, num_classes=self.num_classes,
@@ -225,6 +230,7 @@ def build_model(config: ModelConfig) -> nn.Module:
         return SSD300(num_classes=config.num_classes,
                       l2_norm_scale_init=config.l2_norm_scale_init,
                       freeze_stages=config.freeze_stages,
+                      dw_pallas_convs=tuple(config.dw_pallas_convs),
                       dtype=dtype)
     if config.backbone == "resnet34":
         return SSDResNet34(num_classes=config.num_classes,

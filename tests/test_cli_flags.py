@@ -105,6 +105,75 @@ def test_fsdp_rejects_indivisible_device_count():
         cli.cmd_train(args)
 
 
+def test_latency_profile_preset():
+    """--latency-profile bundles the measured serving knobs; explicit
+    flags override their piece."""
+    cfg = cli.build_config(_parse(["export", "--out-dir", "/tmp/x",
+                                   "--latency-profile"]))
+    assert cfg.postprocess.per_class_top_k == 32
+    assert cfg.quant.int8
+    # explicit override wins over the preset
+    cfg = cli.build_config(_parse(["export", "--out-dir", "/tmp/x",
+                                   "--latency-profile"]))
+    assert cfg.quant.chain_requant          # chain stays on by default
+    # no preset -> defaults untouched
+    cfg = cli.build_config(_parse(["export", "--out-dir", "/tmp/x"]))
+    assert cfg.postprocess.per_class_top_k == 64
+    assert not cfg.quant.int8
+
+
+def test_int8_chain_and_recalibrate_flags():
+    cfg = cli.build_config(_parse(["eval", "--int8", "--no-int8-chain",
+                                   "--recalibrate"]))
+    assert cfg.quant.int8
+    assert cfg.quant.chain_requant is False
+    assert cfg.quant.recalibrate is True
+    cfg = cli.build_config(_parse(["eval", "--int8"]))
+    assert cfg.quant.chain_requant is True
+    assert cfg.quant.recalibrate is False
+
+
+def test_stale_qat_scales_hard_error(tmp_path):
+    """quant_scales.json bound to different weights must hard-error (with
+    --recalibrate as the escape) instead of silently misquantizing —
+    round-3 verdict item 7."""
+    import dataclasses
+    import numpy as np
+    import pytest as _pytest
+    from objectdetection_ssd_tpu.infer import quant as quant_lib
+
+    params_a = {"trunk": {"conv1_1": {"kernel": np.ones((2,), np.float32)}}}
+    params_b = {"trunk": {"conv1_1": {"kernel": np.zeros((2,), np.float32)}}}
+    qtree = {"trunk": {"conv1_1": {"act_scale": np.float32(0.031)}}}
+    path = str(tmp_path / quant_lib.SCALES_FILENAME)
+    quant_lib.save_scales(qtree, path,
+                          fingerprint=quant_lib.param_fingerprint(params_a),
+                          epoch=3)
+    assert quant_lib.load_scales_meta(path)["epoch"] == 3
+
+    cfg = cli.config_lib.Config()
+    cfg = cfg.replace(
+        train=dataclasses.replace(cfg.train, checkpoint_dir=str(tmp_path)),
+        quant=dataclasses.replace(cfg.quant, int8=True))
+    # matching weights: scales load fine
+    out = cli._build_quant(cfg, params=params_a, batch_stats=None,
+                           records=None)
+    np.testing.assert_allclose(out["trunk"]["conv1_1"]["act_scale"], 0.031,
+                               rtol=1e-6)
+    # retrained weights: hard error naming --recalibrate
+    with _pytest.raises(SystemExit, match="recalibrate"):
+        cli._build_quant(cfg, params=params_b, batch_stats=None,
+                         records=None)
+    # EMA fingerprint list: serving the EMA tree also passes
+    quant_lib.save_scales(
+        qtree, path,
+        fingerprint=[quant_lib.param_fingerprint(params_a),
+                     quant_lib.param_fingerprint(params_b)])
+    out = cli._build_quant(cfg, params=params_b, batch_stats=None,
+                           records=None)
+    assert out is not None
+
+
 def test_pp_flags_reach_config():
     cfg = cli.build_config(_parse(["train", "--pp", "2",
                                    "--pp-microbatches", "4"]))

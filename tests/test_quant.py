@@ -174,6 +174,73 @@ def test_detector_quant_and_export_roundtrip(tmp_path, ssd_setup):
     assert served.meta["tta_flip"] is False
 
 
+def test_chain_scales_threads_out_scales():
+    """chain_scales adds out_scale = consumer.act_scale along the family's
+    edges, only where BOTH endpoints are quantized, without touching the
+    input tree or the quantized-conv count."""
+    q = {"trunk": {"conv1_1": {"act_scale": np.float32(0.5)},
+                   "conv1_2": {"act_scale": np.float32(0.25)},
+                   # conv2_1 missing (pretend it was excluded)
+                   "conv2_2": {"act_scale": np.float32(0.125)}},
+         "seq8_1": {"act_scale": np.float32(1.0)},
+         "seq8_2": {"act_scale": np.float32(2.0)}}
+    c = quant_lib.chain_scales(q, "vgg16")
+    # 1_1 -> 1_2 chained; 1_2 -> 2_1 and 2_1 -> 2_2 skipped (missing end).
+    np.testing.assert_allclose(c["trunk"]["conv1_1"]["out_scale"], 0.25)
+    assert "out_scale" not in c["trunk"]["conv1_2"]
+    assert "out_scale" not in c["trunk"]["conv2_2"]
+    np.testing.assert_allclose(c["seq8_1"]["out_scale"], 2.0)
+    assert "out_scale" not in c["seq8_2"]         # head tap stays f32 out
+    # input untouched; count counts act_scale leaves only
+    assert "out_scale" not in q["trunk"]["conv1_1"]
+    assert quant_lib.count_quantized(c) == quant_lib.count_quantized(q) == 5
+    # resnet34 has no exact chain edges (BN between conv and quantize)
+    assert quant_lib.chain_scales(q, "resnet34") == q
+
+
+def test_int8_max_pool_commutes_with_quantization():
+    """max_pool on the int8 tensor == quantize(max_pool(f32)) — monotone
+    ops commute with symmetric quantization; covers the plain, padded
+    (pool5-style -inf/INT_MIN pads) and ceil-mode pools."""
+    from objectdetection_ssd_tpu.models.layers import max_pool
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (2, 7, 7, 4)).astype(np.float32)
+    s = np.float32(np.abs(x).max() / 127.0)
+    q = np.clip(np.round(x / s), -127, 127).astype(np.int8)
+    for kw in (dict(window=2, stride=2),
+               dict(window=3, stride=1, padding=1),
+               dict(window=2, stride=2, ceil_mode=True)):
+        pooled_q = np.asarray(max_pool(jnp.asarray(q), **kw))
+        q_pooled = np.clip(np.round(
+            np.asarray(max_pool(jnp.asarray(x), **kw)) / s),
+            -127, 127).astype(np.int8)
+        np.testing.assert_array_equal(pooled_q, q_pooled)
+        assert pooled_q.dtype == np.int8
+
+
+def test_int8_chain_bit_exact_on_ssd300(ssd_setup):
+    """The requant-chained SSD300 graph must equal the unchained int8
+    graph BIT FOR BIT — chaining is a memory-traffic rewrite, not a new
+    approximation (the exactness argument in Int8Conv's docstring)."""
+    cfg, model, params, images = ssd_setup
+    stats = quant_lib.calibrate(model, params, [images])
+    qtree = quant_lib.act_scales(stats)
+    chained = quant_lib.chain_scales(qtree, "vgg16")
+    assert quant_lib.count_quantized(chained) == 23
+    # every VGG edge chains on the full tree (17 producer out_scales)
+    n_out = sum(1 for p, _ in
+                jax.tree_util.tree_flatten_with_path(chained)[0]
+                if p[-1].key == "out_scale")
+    assert n_out == len(quant_lib.VGG16_CHAIN_EDGES)
+
+    loc_u, conf_u = model.apply({"params": params, "quant": qtree},
+                                jnp.asarray(images))
+    loc_c, conf_c = model.apply({"params": params, "quant": chained},
+                                jnp.asarray(images))
+    np.testing.assert_array_equal(np.asarray(loc_u), np.asarray(loc_c))
+    np.testing.assert_array_equal(np.asarray(conf_u), np.asarray(conf_c))
+
+
 def test_quant_noop_for_training_collections():
     """Without a mutable quant_stats collection and without a quant tree,
     TorchConv must behave exactly as before (the sow is a no-op) — the
