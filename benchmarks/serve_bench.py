@@ -39,7 +39,14 @@ def main() -> int:
                          "calls (A/B vs the default per-request mode; "
                          "needs --batch > 1)")
     ap.add_argument("--max-wait-ms", type=float, default=4.0)
+    ap.add_argument("--latency-profile", action="store_true",
+                    help="export with the `cli export --latency-profile` "
+                         "preset (per-class NMS candidates 32 + int8) "
+                         "instead of the default artifact — the serving "
+                         "A/B for the one-flag deployment preset")
     args = ap.parse_args()
+
+    import dataclasses
 
     import jax
     import jax.numpy as jnp
@@ -57,8 +64,26 @@ def main() -> int:
     model = build_model(cfg.model)
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, 300, 300, 3)))["params"]
+    quant = None
+    if args.latency_profile:
+        # The exact preset cli.build_config applies for --latency-profile
+        # (cli.py:126): per-class candidate cap 32 + int8.  Latency is
+        # weight-independent, so calibrating the random weights on random
+        # images yields a throughput-identical artifact to a trained one.
+        from objectdetection_ssd_tpu.infer import quant as quant_lib
+        cfg = cfg.replace(
+            postprocess=dataclasses.replace(cfg.postprocess,
+                                            per_class_top_k=32),
+            quant=dataclasses.replace(cfg.quant, int8=True))
+        calib = (np.random.default_rng(0)
+                 .integers(0, 255, (8, 300, 300, 3)).astype(np.uint8))
+        stats = quant_lib.calibrate(build_model(cfg.model), params, [calib])
+        quant = quant_lib.act_scales(stats)
+        if cfg.quant.chain_requant:
+            quant = quant_lib.chain_scales(quant, cfg.model.backbone)
     artifact = os.path.join(tempfile.mkdtemp(prefix="servebench_"), "art")
-    export_detector(cfg, params, artifact, batch_size=args.batch)
+    export_detector(cfg, params, artifact, batch_size=args.batch,
+                    quant=quant)
 
     det = serve_http.MinimalExportedDetector(artifact)
     batcher = None
@@ -113,6 +138,7 @@ def main() -> int:
     lats_ms = np.asarray(sorted(lats)) * 1000.0
     print(json.dumps({
         "metric": "serve_http_latency_ms",
+        "latency_profile": args.latency_profile,
         "dynamic_batching": batcher is not None,
         "max_wait_ms": args.max_wait_ms if batcher is not None else None,
         "batch": args.batch,

@@ -85,13 +85,13 @@ class ModelConfig:
     # Compute dtype for the conv stack. Params stay f32; bf16 activations
     # keep the MXU fed at full rate on TPU.
     compute_dtype: str = "float32"
-    # VGG trunk convs whose filter gradient routes through the Pallas dWT
-    # kernel (ops/dw_pallas.py) during training.  The round-4 attribution
-    # measured the conv1 block's dW at ~33% MFU under XLA's native
-    # lowering (the (3,3,64,64)/(3,3,3,64) outputs sit at half/quarter
-    # MXU lane tiles); the kernel computes dW^T with 9*Cin on the lane
-    # axis instead.  Inference/int8 graphs ignore this (no dW there).
-    # CLI: `train --dw-pallas` selects the measured-best set.
+    # VGG trunk convs whose filter gradient routes through the Pallas
+    # tap-matrix kernel (ops/dw_pallas.py) during training.  MEASURED
+    # NEGATIVE (round 4): the attribution ladder put conv1_2's dW at ~33%
+    # MFU under XLA, but the hand kernel lost the full-graph A/B 177 ms
+    # vs 293 ms/step — copy-bound, see RESULTS.md "Pallas dW kernel".
+    # Kept as the documented experiment; default () = XLA native always.
+    # Inference/int8 graphs ignore this (no dW there).
     dw_pallas_convs: Sequence[str] = ()
 
 

@@ -167,9 +167,10 @@ class TorchConv(nn.Module):
     """Conv2D with torch-style symmetric explicit padding and dilation.
 
     ``dw_pallas``: route the backward's FILTER gradient through the Pallas
-    dWT kernel (`ops/dw_pallas.py`) — a measured train-step win for the
-    early high-resolution/low-channel convs whose dW tiles the MXU at
-    ~33% under XLA's native lowering (benchmarks/dw_experiment.py).
+    tap-matrix kernel (`ops/dw_pallas.py`).  MEASURED NEGATIVE — the
+    round-4 full-graph A/B has XLA native at 177 ms/step vs 293 ms with
+    the kernel (benchmarks/RESULTS.md "Pallas dW kernel"); the flag stays
+    for the documented experiment, default OFF everywhere.
     3x3/stride-1/pad-1 geometry only; ignored when a quant collection
     selects the int8/QAT path (inference graphs have no dW).
 
