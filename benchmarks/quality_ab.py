@@ -11,12 +11,15 @@ same-process bf16-vs-int8 throughput A/B with bench.py's chained-dependency
 methodology (CLAUDE.md: never compare numbers across relay processes).
 
 Usage:
-  python benchmarks/quality_ab.py [workdir]
+  python benchmarks/quality_ab.py [workdir] [--qat-epochs N] [--skip-qat]
 Reuses ``workdir``'s checkpoint when one exists (e.g. a prior
-map_rehearsal.py run passed the same workdir); otherwise trains first
-(~25 min on a v5e).  Prints one JSON line per measurement.
+map_rehearsal.py or full_scale_rehearsal.py run passed the same workdir);
+otherwise trains first (~25 min on a v5e).  The QAT stage fine-tunes
+``--qat-epochs`` (default 5) MORE epochs from whatever epoch the restored
+checkpoint is at.  Prints one JSON line per measurement.
 """
 
+import argparse
 import dataclasses
 import functools
 import json
@@ -34,7 +37,12 @@ BENCH_BATCH = 256
 
 
 def main() -> int:
-    work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/quality_ab"
+    ap = argparse.ArgumentParser()
+    ap.add_argument("workdir", nargs="?", default="/tmp/quality_ab")
+    ap.add_argument("--qat-epochs", type=int, default=5)
+    ap.add_argument("--skip-qat", action="store_true")
+    args = ap.parse_args()
+    work = args.workdir
     os.makedirs(work, exist_ok=True)
     root = os.path.join(work, "voc")
     ckpt = os.path.join(work, "ckpt")
@@ -119,28 +127,45 @@ def main() -> int:
 
     # --- QAT stage: fine-tune through fake-quant, re-measure served int8 --
     # (cli train --qat recalibrates on the resumed weights, rebuilds the
-    # steps with straight-through fake-quant convs, and trains 5 more
-    # epochs; the checkpoint then serves --int8 with the same scales.)
-    t0 = time.perf_counter()
-    cli.main([
-        "train", "--voc-root", root, "--epochs", str(EPOCHS + 5),
-        "--batch-size", str(BATCH), "--num-workers", "0",
-        "--checkpoint-dir", ckpt, "--bf16", "--resume", "--qat",
-        "--lr", "1e-4", "--no-lr-decay",
-        "--image-cache", os.path.join(work, "cache"),
-    ])
-    print(json.dumps({"stage": "qat_finetuned", "epochs": 5,
-                      "wall_seconds": round(time.perf_counter() - t0, 1)}))
-    params, batch_stats = cli._restore_params(cfg)
-    qtree_post = cli._build_quant(cfg.replace(quant=qcfg), params,
-                                  batch_stats, records=train_recs)
-    det = Detector(cfg, params, batch_stats, postprocess_config=pp_exact,
-                   quant=qtree_post)
-    aps, qat_map = evaluate_records(cfg, params, val_recs,
-                                    batch_stats=batch_stats, detector=det)
-    print(json.dumps({"stage": "eval_int8_after_qat",
-                      "map": round(qat_map, 5),
-                      "map_delta_vs_baseline": round(qat_map - base_map, 5)}))
+    # steps with straight-through fake-quant convs, and trains --qat-epochs
+    # more epochs; the checkpoint then serves --int8 with the same scales.)
+    # Runs on a COPY of the checkpoint dir: orbax max_to_keep would
+    # otherwise garbage-collect the f32 epochs out of the source run.
+    if not args.skip_qat:
+        import shutil
+        from objectdetection_ssd_tpu.train.checkpoint import CheckpointManager
+        start_epoch = CheckpointManager(ckpt).latest_epoch()
+        ckpt_qat = os.path.join(work, "ckpt_qat")
+        if os.path.isdir(ckpt_qat):
+            shutil.rmtree(ckpt_qat)
+        shutil.copytree(ckpt, ckpt_qat)
+        t0 = time.perf_counter()
+        cli.main([
+            "train", "--voc-root", root,
+            "--epochs", str(start_epoch + 1 + args.qat_epochs),
+            "--batch-size", str(BATCH), "--num-workers", "0",
+            "--checkpoint-dir", ckpt_qat, "--bf16", "--resume", "--qat",
+            "--lr", "1e-4", "--no-lr-decay",
+            "--image-cache", os.path.join(work, "cache"),
+        ])
+        print(json.dumps({"stage": "qat_finetuned", "epochs": args.qat_epochs,
+                          "from_epoch": start_epoch,
+                          "wall_seconds":
+                          round(time.perf_counter() - t0, 1)}))
+        cfg_qat = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           checkpoint_dir=ckpt_qat))
+        params_q, batch_stats_q = cli._restore_params(cfg_qat)
+        qtree_post = cli._build_quant(cfg_qat.replace(quant=qcfg), params_q,
+                                      batch_stats_q, records=train_recs)
+        det = Detector(cfg, params_q, batch_stats_q,
+                       postprocess_config=pp_exact, quant=qtree_post)
+        aps, qat_map = evaluate_records(cfg, params_q, val_recs,
+                                        batch_stats=batch_stats_q,
+                                        detector=det)
+        print(json.dumps({
+            "stage": "eval_int8_after_qat", "map": round(qat_map, 5),
+            "map_delta_vs_baseline": round(qat_map - base_map, 5)}))
 
     # --- same-process throughput A/B: bf16 vs int8 (bench methodology) ---
     import jax

@@ -169,7 +169,7 @@ def evaluate_records(config: Config, params: Any, records: List[ImageRecord],
     """
     import jax as _jax
     if _jax.process_count() > 1 and mesh is None and (
-            detector is None or getattr(detector, "mesh", None) is None):
+            detector is None or detector.mesh is None):
         raise ValueError(
             "multi-host evaluation needs a global mesh spanning every "
             "process's devices (cmd_eval builds one via "
@@ -183,7 +183,7 @@ def evaluate_records(config: Config, params: Any, records: List[ImageRecord],
     else:
         detector.params = params
         detector.batch_stats = batch_stats
-        mesh = getattr(detector, "mesh", mesh)
+        mesh = detector.mesh if detector.mesh is not None else mesh
     bs = batch_size or config.data.batch_size
     if mesh is not None:
         from objectdetection_ssd_tpu.parallel import mesh as mesh_lib

@@ -98,6 +98,11 @@ def forward_for_postprocess(model, variables, images, priors, pp_config):
 class Detector:
     """Bundles model apply + postprocess into one compiled inference path."""
 
+    # Class-level default so hand-built instances (tests construct via
+    # __new__ to inject tiny models) still satisfy the detect_batch /
+    # evaluate contract without every fixture tracking new attributes.
+    mesh = None
+
     @classmethod
     def from_checkpoint(cls, config: Config,
                         checkpoint_dir: Optional[str] = None,

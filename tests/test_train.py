@@ -641,9 +641,11 @@ def test_remat_step_matches_plain_step():
 
 def test_remat_vgg_trunk_markers_exist():
     """The VGG trunk carries stage-boundary checkpoint_name markers (the
-    remat policy keys on them)."""
+    remat policy keys on them).  The stage graph lives in apply_vgg_stages
+    (shared with the pipeline-parallel stage split), not VGG16Trunk's body.
+    """
     from objectdetection_ssd_tpu.models import backbones
     import inspect
-    src = inspect.getsource(backbones.VGG16Trunk)
+    src = inspect.getsource(backbones.apply_vgg_stages)
     assert src.count("checkpoint_name") >= 5
     assert backbones.VGG_STAGE_CKPT
