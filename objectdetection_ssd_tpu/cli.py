@@ -150,7 +150,8 @@ def build_config(args) -> config_lib.Config:
                              "programs have no fake-quant path)")
         cfg = cfg.replace(train=dataclasses.replace(
             cfg.train, pp_stages=args.pp,
-            pp_microbatches=max(getattr(args, "pp_microbatches", 1), 1)))
+            pp_microbatches=max(getattr(args, "pp_microbatches", 1), 1),
+            pp_dp=max(getattr(args, "pp_dp", 1), 1)))
     q_kw = {}
     if getattr(args, "int8", False):
         q_kw["int8"] = True
@@ -202,6 +203,10 @@ def _build_quant(cfg: config_lib.Config, params, batch_stats,
         qtree = quant_lib.load_scales(saved)
         if cfg.quant.chain_requant:
             qtree = quant_lib.chain_scales(qtree, cfg.model.backbone)
+        else:
+            # A QAT run saves the CHAINED tree; --no-int8-chain must strip
+            # the out_scale leaves or the loaded graph chains regardless.
+            qtree = quant_lib.unchain_scales(qtree)
         print(f"int8: using QAT-trained scales from {saved} "
               f"({quant_lib.count_quantized(qtree)} convs)",
               file=sys.stderr)
@@ -445,36 +450,55 @@ def cmd_train(args) -> int:
         # Calibrate AFTER init/resume (the scales must describe the weights
         # being fine-tuned), then rebuild the steps with fake-quant convs.
         import dataclasses as _dc
+
+        def _gathered(tree):
+            # Multi-host: collective gather to host numpy — a plain
+            # device_get raises on FSDP-sharded leaves that span
+            # non-addressable devices (round-4 advisor finding).
+            if tree is None:
+                return None
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+                return multihost_utils.process_allgather(tree)
+            return jax.device_get(tree)
+
         qcfg = cfg.replace(quant=_dc.replace(cfg.quant, int8=True))
         qtree = _build_quant(
-            qcfg, jax.device_get(trainer.state.params),
-            (jax.device_get(trainer.state.batch_stats)
-             if trainer.state.batch_stats is not None else None),
+            qcfg, _gathered(trainer.state.params),
+            _gathered(trainer.state.batch_stats),
             records=train_recs)
         trainer.enable_qat(qtree)
         import os
         from objectdetection_ssd_tpu.infer import quant as quant_lib
-        os.makedirs(cfg.train.checkpoint_dir, exist_ok=True)
-        # Pre-fit save (crash safety; no binding yet — the final weights
-        # don't exist).  Re-saved below with the finished checkpoint's
-        # param fingerprint so serving can verify the pairing.
-        quant_lib.save_scales(qtree, os.path.join(
-            cfg.train.checkpoint_dir, quant_lib.SCALES_FILENAME))
+        from objectdetection_ssd_tpu.parallel import distributed
+        if distributed.is_primary():
+            os.makedirs(cfg.train.checkpoint_dir, exist_ok=True)
+            # Pre-fit save (crash safety; no binding yet — the final
+            # weights don't exist).  Re-saved below with the finished
+            # checkpoint's param fingerprint so serving can verify the
+            # pairing.  Primary-only: all hosts racing to write the same
+            # quant_scales.json is at best redundant.
+            quant_lib.save_scales(qtree, os.path.join(
+                cfg.train.checkpoint_dir, quant_lib.SCALES_FILENAME))
     state = trainer.fit(profile_dir=args.profile_dir)
     if cfg.quant.qat:
         import os
         from objectdetection_ssd_tpu.infer import quant as quant_lib
-        fps = [quant_lib.param_fingerprint(jax.device_get(state.params))]
+        from objectdetection_ssd_tpu.parallel import distributed
+        # The fingerprint gather is collective — every process must
+        # participate even though only the primary writes.
+        fps = [quant_lib.param_fingerprint(_gathered(state.params))]
         if state.ema_params is not None:
             # --use-ema serves the EMA tree; both pairings are valid.
             fps.append(quant_lib.param_fingerprint(
-                jax.device_get(state.ema_params)))
-        quant_lib.save_scales(
-            qtree,
-            os.path.join(cfg.train.checkpoint_dir,
-                         quant_lib.SCALES_FILENAME),
-            fingerprint=fps,
-            epoch=trainer.ckpt.latest_epoch())
+                _gathered(state.ema_params)))
+        if distributed.is_primary():
+            quant_lib.save_scales(
+                qtree,
+                os.path.join(cfg.train.checkpoint_dir,
+                             quant_lib.SCALES_FILENAME),
+                fingerprint=fps,
+                epoch=trainer.ckpt.latest_epoch())
     return 0
 
 
@@ -605,33 +629,40 @@ def cmd_export(args) -> int:
         from jax.experimental import multihost_utils
         multihost_utils.sync_global_devices("export_done")
         return 0
-    cfg = build_config(args)
-    params, batch_stats = _restore_params(cfg, args.allow_random_init,
-                                          use_ema=getattr(args, "use_ema",
-                                                          False))
-    quant = None
-    if cfg.quant.int8:
-        import os
-        from objectdetection_ssd_tpu.infer import quant as quant_lib
-        if os.path.exists(os.path.join(cfg.train.checkpoint_dir,
-                                       quant_lib.SCALES_FILENAME)):
-            # QAT checkpoint: saved scales, no dataset needed to export.
-            quant = _build_quant(cfg, params, batch_stats)
-        else:
-            # Plain PTQ: calibrate on the train split (needs --voc-root).
-            train_recs, _ = _load_split(cfg, args)
-            quant = _build_quant(cfg, params, batch_stats,
-                                 records=train_recs)
-    serve_bs = args.serve_batch_size
-    if serve_bs is None:
-        serve_bs = 1 if getattr(args, "latency_profile", False) else 8
-    out = export_detector(cfg, params, args.out_dir,
-                          batch_size=serve_bs,
-                          batch_stats=batch_stats, quant=quant)
-    print(f"exported serving artifact -> {out}")
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-        multihost_utils.sync_global_devices("export_done")
+    # Everything below runs on the primary only.  The try/finally
+    # guarantees the barrier is ALWAYS reached — a primary-side failure
+    # (missing checkpoint SystemExit, scales-binding error) must not
+    # leave the other hosts hung at sync_global_devices forever
+    # (round-4 advisor finding).
+    try:
+        cfg = build_config(args)
+        params, batch_stats = _restore_params(
+            cfg, args.allow_random_init,
+            use_ema=getattr(args, "use_ema", False))
+        quant = None
+        if cfg.quant.int8:
+            import os
+            from objectdetection_ssd_tpu.infer import quant as quant_lib
+            if os.path.exists(os.path.join(cfg.train.checkpoint_dir,
+                                           quant_lib.SCALES_FILENAME)):
+                # QAT checkpoint: saved scales, no dataset needed.
+                quant = _build_quant(cfg, params, batch_stats)
+            else:
+                # Plain PTQ: calibrate on the train split (--voc-root).
+                train_recs, _ = _load_split(cfg, args)
+                quant = _build_quant(cfg, params, batch_stats,
+                                     records=train_recs)
+        serve_bs = args.serve_batch_size
+        if serve_bs is None:
+            serve_bs = 1 if getattr(args, "latency_profile", False) else 8
+        out = export_detector(cfg, params, args.out_dir,
+                              batch_size=serve_bs,
+                              batch_stats=batch_stats, quant=quant)
+        print(f"exported serving artifact -> {out}")
+    finally:
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("export_done")
     return 0
 
 
@@ -758,14 +789,24 @@ def main(argv: Optional[List[str]] = None) -> int:
                               "unchanged, and checkpoints stay monolithic "
                               "(interchangeable with every other "
                               "strategy); backward is rematerialized per "
-                              "stage, so --remat is implied; mutually "
-                              "exclusive with --fsdp/--tp/--sp and --qat")
+                              "stage, so --remat is implied; composes "
+                              "with data parallelism via --pp-dp; "
+                              "mutually exclusive with --fsdp/--tp/--sp "
+                              "and --qat")
     p_train.add_argument("--pp-microbatches", type=int, default=1,
                          metavar="M",
                          help="microbatches streamed per --pp step "
                               "(gradients MEANed over them — --grad-accum "
                               "semantics; batch size must divide evenly; "
                               "1 = bit-exact monolithic step)")
+    p_train.add_argument("--pp-dp", type=int, default=1, metavar="D",
+                         help="data-parallel ways WITHIN each --pp stage "
+                              "(needs N x D devices): each stage becomes a "
+                              "D-device mesh — params replicate over it, "
+                              "microbatch rows shard over its data axis, "
+                              "per-stage grad all-reduce rides its ICI; "
+                              "numerically identical to plain --pp on the "
+                              "same global batch")
     p_train.add_argument("--freeze-trunk-stages", type=int, default=0,
                          choices=range(0, 6),
                          help="freeze the first N VGG stages (1=conv1 .. "

@@ -266,6 +266,13 @@ class TrainConfig:
     # Microbatches streamed per step under --pp; gradients are MEANed over
     # them (`--grad-accum` semantics; 1 = bit-exact monolithic step).
     pp_microbatches: int = 1
+    # Data-parallel ways WITHIN each pipeline stage (`train --pp N
+    # --pp-dp D` — needs N x D devices): every stage becomes a D-device
+    # mesh, its params replicate, microbatch rows shard over the stage
+    # mesh's data axis, and the per-stage gradient all-reduce rides the
+    # stage's ICI.  1 = plain GPipe.  This is how PP composes with data
+    # parallelism (the remaining devices after the pipeline cut).
+    pp_dp: int = 1
     donate_state: bool = True
     # Gradient-checkpoint the forward at VGG stage boundaries
     # (jax.checkpoint + save_only_these_names over the trunk's

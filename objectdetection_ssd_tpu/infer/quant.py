@@ -178,6 +178,25 @@ def chain_scales(qtree: Dict[str, Any],
     return out
 
 
+def unchain_scales(qtree: Dict[str, Any]) -> Dict[str, Any]:
+    """Remove every requant-chain ``out_scale`` entry (the inverse of
+    `chain_scales`).  Needed on the LOAD path: a QAT train run persists
+    the chained tree to quant_scales.json, so serving with
+    ``--no-int8-chain`` must strip the out_scale leaves or the graph
+    chains anyway and the A/B the flag exists for measures nothing
+    (round-4 advisor finding, cli.py:202).  Returns a deep copy."""
+    import copy
+    out = copy.deepcopy(qtree)
+
+    def _strip(node):
+        if isinstance(node, dict):
+            node.pop("out_scale", None)
+            for v in node.values():
+                _strip(v)
+    _strip(out)
+    return out
+
+
 def count_quantized(qtree: Dict[str, Any]) -> int:
     """Number of convs the tree quantizes (act_scale leaves only —
     chained ``out_scale`` entries don't add convs)."""

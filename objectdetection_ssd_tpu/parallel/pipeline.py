@@ -224,13 +224,16 @@ def build_ssd300_pipeline(model: SSD300, variables: Any,
 
 def build_pipeline_for(model, params: Any, num_stages: int,
                        devices: Optional[Sequence[jax.Device]] = None,
-                       microbatches: int = 1):
+                       microbatches: int = 1, dp: int = 1):
     """Model-family dispatch for the `train --pp` path.
 
     Returns ``(runner, split_fn, merge_fn)`` where ``split_fn(params)``
     yields the per-stage param trees for the CURRENT weights (called every
     step by the trainer) and ``merge_fn(stage_grads)`` reassembles per-stage
     gradients into the monolithic tree the optax chain consumes.
+
+    ``dp``: data-parallel ways per stage (`train --pp N --pp-dp D` —
+    needs N x D devices; see `PipelineRunner.__init__`).
     """
     if not isinstance(model, SSD300):
         raise ValueError(
@@ -254,7 +257,7 @@ def build_pipeline_for(model, params: Any, num_stages: int,
         return split_ssd300_params_n(p, num_stages)
 
     runner = PipelineRunner(stage_fns, split_fn(params), devices=devices,
-                            microbatches=microbatches)
+                            microbatches=microbatches, dp=dp)
     return runner, split_fn, merge_ssd300_stage_trees
 
 
@@ -272,21 +275,56 @@ class PipelineRunner:
     def __init__(self, stage_fns: Sequence[StageFn],
                  stage_params: Sequence[Any],
                  devices: Optional[Sequence[jax.Device]] = None,
-                 microbatches: int = 1):
+                 microbatches: int = 1, dp: int = 1):
+        """``dp``: data-parallel ways WITHIN each stage.  With dp > 1 every
+        stage owns a ``dp``-device one-axis mesh instead of a single
+        device: its params replicate over the stage mesh, microbatch rows
+        shard over the mesh's ``data`` axis, and GSPMD compiles each stage
+        program SPMD (the per-stage gradient all-reduce over the stage
+        mesh's ICI falls out of the replicated-params vjp).  Stage
+        boundaries then move sharded activations mesh-to-mesh — a
+        resharding `device_put`, the same transfer volume per device as
+        the dp=1 pipeline.  Composition semantics: grads are summed over
+        the data axis and meaned over microbatches, so the step equals the
+        dp=1 pipeline bit-for-bit on the same global batch (pinned in
+        tests/test_pp.py)."""
         if len(stage_fns) != len(stage_params):
             raise ValueError("one param tree per stage")
         if microbatches < 1:
             raise ValueError("microbatches must be >= 1")
+        if dp < 1:
+            raise ValueError("dp must be >= 1")
         devs = list(devices) if devices is not None else jax.devices()
-        if len(devs) < len(stage_fns):
+        nstage = len(stage_fns)
+        if len(devs) < nstage * dp:
             raise ValueError(
-                f"{len(stage_fns)} stages need {len(stage_fns)} devices, "
-                f"got {len(devs)}")
-        self.devices = devs[:len(stage_fns)]
+                f"{nstage} stages x {dp} data ways need {nstage * dp} "
+                f"devices, got {len(devs)}")
+        self.dp = dp
         self.microbatches = microbatches
         self.stage_fns = list(stage_fns)
+        if dp == 1:
+            self.devices = devs[:nstage]
+            self._param_place = list(self.devices)
+            self._carry_place = list(self.devices)
+        else:
+            import numpy as _np
+            from jax.sharding import (Mesh as _Mesh,
+                                      NamedSharding as _NamedSharding,
+                                      PartitionSpec as _P)
+            self.meshes = [
+                _Mesh(_np.asarray(devs[s * dp:(s + 1) * dp]), ("data",))
+                for s in range(nstage)]
+            # Lead device per stage: API compatibility (`runner.devices[0]`
+            # is where make_pp_steps homes the monolithic grads/update).
+            self.devices = [devs[s * dp] for s in range(nstage)]
+            self._param_place = [_NamedSharding(m, _P())
+                                 for m in self.meshes]
+            self._carry_place = [_NamedSharding(m, _P("data"))
+                                 for m in self.meshes]
         self.params = [
-            jax.device_put(p, d) for p, d in zip(stage_params, self.devices)]
+            jax.device_put(p, d)
+            for p, d in zip(stage_params, self._param_place)]
         self._fwd = [jax.jit(fn) for fn in self.stage_fns]
         # Backward recomputes the stage forward inside vjp (remat pipeline):
         # bwd_s(p, h_in, g_out) -> (dL/dp, dL/dh_in).
@@ -309,6 +347,14 @@ class PipelineRunner:
 
     # -- helpers ----------------------------------------------------------
 
+    @property
+    def aux_placement(self):
+        """Placement for per-example targets consumed by the loss: the
+        LAST stage's carry placement (device at dp=1, batch-sharded
+        NamedSharding at dp>1 — aux rows must shard like the stage
+        output's)."""
+        return self._carry_place[-1]
+
     def _split(self, batch: Any) -> List[Any]:
         leaves = jax.tree_util.tree_leaves(batch)
         n = leaves[0].shape[0]
@@ -316,6 +362,10 @@ class PipelineRunner:
         if n % m:
             raise ValueError(f"batch {n} not divisible by {m} microbatches")
         k = n // m
+        if k % self.dp:
+            raise ValueError(
+                f"microbatch rows {k} (batch {n} / {m} microbatches) not "
+                f"divisible by the per-stage data ways dp={self.dp}")
         return [jax.tree_util.tree_map(lambda a: a[i * k:(i + 1) * k], batch)
                 for i in range(m)]
 
@@ -334,7 +384,7 @@ class PipelineRunner:
             return self.params
         if len(params) != len(self.stage_fns):
             raise ValueError("one param tree per stage")
-        return [self._put(p, d) for p, d in zip(params, self.devices)]
+        return [self._put(p, d) for p, d in zip(params, self._param_place)]
 
     def _loss_grad(self, loss_fn, with_aux: bool, has_aux: bool):
         key = (id(loss_fn), with_aux, has_aux)
@@ -359,10 +409,10 @@ class PipelineRunner:
         stage_params = self._stage_param_trees(params)
         outs = []
         for mb in self._split(batch):
-            h = self._put(mb, self.devices[0])
+            h = self._put(mb, self._carry_place[0])
             for s, fwd in enumerate(self._fwd):
                 if s:
-                    h = self._put(h, self.devices[s])
+                    h = self._put(h, self._carry_place[s])
                 h = fwd(stage_params[s], h)
             outs.append(h)
         if len(outs) == 1:
@@ -404,7 +454,7 @@ class PipelineRunner:
 
         aux_mbs = None
         if aux is not None:
-            aux_mbs = [self._put(a, self.devices[-1])
+            aux_mbs = [self._put(a, self._carry_place[-1])
                        for a in self._split(aux)]
 
         nstage = len(self.stage_fns)
@@ -413,11 +463,11 @@ class PipelineRunner:
         stash: List[List[Any]] = []
         outs: List[Any] = []
         for mb in self._split(batch):
-            h = self._put(mb, self.devices[0])
+            h = self._put(mb, self._carry_place[0])
             row = []
             for s, fwd in enumerate(self._fwd):
                 if s:
-                    h = self._put(h, self.devices[s])
+                    h = self._put(h, self._carry_place[s])
                 row.append(h)
                 h = fwd(stage_params[s], h)
             stash.append(row)
@@ -442,7 +492,7 @@ class PipelineRunner:
                 gsum[s] = dp if gsum[s] is None else jax.tree_util.tree_map(
                     jnp.add, gsum[s], dp)
                 if s:
-                    g = self._put(g, self.devices[s - 1])
+                    g = self._put(g, self._carry_place[s - 1])
 
         inv = 1.0 / len(outs)
         # Mean loss stays ON DEVICE (last stage) — callers decide when to

@@ -170,7 +170,9 @@ def make_pp_steps(runner, split_fn, merge_fn, priors: jnp.ndarray,
     `del train`); a dropout model would need per-stage rng plumbing.
     """
     dev0 = runner.devices[0]
-    last = runner.devices[-1]
+    # Aux targets live wherever the LAST stage's outputs do (a device at
+    # dp=1, a batch-sharded NamedSharding under --pp-dp).
+    last = runner.aux_placement
 
     def pp_loss(out, aux):
         loc, conf = out

@@ -45,9 +45,10 @@ class Trainer:
 
         ``pp_build``: override for the pipeline-parallel stage builder used
         when ``config.train.pp_stages > 1`` — a callable
-        ``(model, params, num_stages, devices, microbatches) ->
-        (runner, split_fn, merge_fn)``.  Default dispatches on the model
-        family (`parallel.pipeline.build_pipeline_for`, SSD300)."""
+        ``(model, params, num_stages, devices, microbatches, dp) ->
+        (runner, split_fn, merge_fn)`` (``dp`` = per-stage data-parallel
+        ways, `--pp-dp`).  Default dispatches on the model family
+        (`parallel.pipeline.build_pipeline_for`, SSD300)."""
         setup_logging()
         self.config = config
         self.train_loader = train_loader
@@ -67,15 +68,20 @@ class Trainer:
                 raise ValueError(
                     "--pp is single-controller (one process drives all "
                     "stages); it does not compose with multi-host runs")
-            if len(jax.devices()) < pp:
+            dp = max(config.train.pp_dp, 1)
+            if len(jax.devices()) < pp * dp:
                 raise ValueError(
-                    f"--pp {pp} needs {pp} devices; "
+                    f"--pp {pp} x --pp-dp {dp} needs {pp * dp} devices; "
                     f"{len(jax.devices())} available")
             mb = max(config.train.pp_microbatches, 1)
             if config.data.batch_size % mb:
                 raise ValueError(
                     f"batch size {config.data.batch_size} not divisible by "
                     f"--pp-microbatches {mb}")
+            if (config.data.batch_size // mb) % dp:
+                raise ValueError(
+                    f"microbatch rows {config.data.batch_size // mb} not "
+                    f"divisible by --pp-dp {dp}")
             mesh = mesh_lib.create_mesh((1,), devices=jax.devices()[:1])
         self.mesh = mesh if mesh is not None else mesh_lib.create_mesh(
             config.train.mesh_shape, config.train.mesh_axis_names)
@@ -163,9 +169,11 @@ class Trainer:
             from objectdetection_ssd_tpu.parallel import pipeline as pp_lib
             build = (self._pp_build if self._pp_build is not None
                      else pp_lib.build_pipeline_for)
+            dp = max(config.train.pp_dp, 1)
             runner, split_fn, merge_fn = build(
                 self.model, self.state.params, pp,
-                jax.devices()[:pp], max(config.train.pp_microbatches, 1))
+                jax.devices()[:pp * dp],
+                max(config.train.pp_microbatches, 1), dp)
             self._pp = (runner, split_fn, merge_fn)
         self._build_steps()
         self.ckpt = CheckpointManager(

@@ -112,10 +112,15 @@ def test_latency_profile_preset():
                                    "--latency-profile"]))
     assert cfg.postprocess.per_class_top_k == 32
     assert cfg.quant.int8
-    # explicit override wins over the preset
-    cfg = cli.build_config(_parse(["export", "--out-dir", "/tmp/x",
-                                   "--latency-profile"]))
     assert cfg.quant.chain_requant          # chain stays on by default
+    # explicit override wins over the preset: the quant flags are applied
+    # AFTER the preset block in build_config, so --no-int8-chain flips
+    # the preset-enabled int8 path's chaining off.
+    cfg = cli.build_config(_parse(["export", "--out-dir", "/tmp/x",
+                                   "--latency-profile",
+                                   "--no-int8-chain"]))
+    assert cfg.quant.int8                   # preset piece survives
+    assert cfg.quant.chain_requant is False  # override piece wins
     # no preset -> defaults untouched
     cfg = cli.build_config(_parse(["export", "--out-dir", "/tmp/x"]))
     assert cfg.postprocess.per_class_top_k == 64
@@ -174,14 +179,71 @@ def test_stale_qat_scales_hard_error(tmp_path):
     assert out is not None
 
 
+def test_no_int8_chain_strips_saved_out_scales(tmp_path):
+    """A QAT run saves the CHAINED tree (out_scale leaves persist in
+    quant_scales.json); loading with --no-int8-chain must STRIP them, or
+    the served graph chains anyway and the A/B the flag exists for
+    measures nothing (round-4 advisor finding)."""
+    import dataclasses
+    import numpy as np
+    from objectdetection_ssd_tpu.infer import quant as quant_lib
+
+    params = {"trunk": {"conv1_1": {"kernel": np.ones((2,), np.float32)}}}
+    qtree = {"trunk": {"conv1_1": {"act_scale": np.float32(0.031),
+                                   "out_scale": np.float32(0.017)}}}
+    path = str(tmp_path / quant_lib.SCALES_FILENAME)
+    quant_lib.save_scales(qtree, path,
+                          fingerprint=quant_lib.param_fingerprint(params))
+
+    cfg = cli.config_lib.Config()
+    base = cfg.replace(
+        train=dataclasses.replace(cfg.train, checkpoint_dir=str(tmp_path)))
+    # chain on (default): out_scale survives the load
+    on = base.replace(quant=dataclasses.replace(base.quant, int8=True))
+    out = cli._build_quant(on, params=params, batch_stats=None, records=None)
+    assert "out_scale" in out["trunk"]["conv1_1"]
+    # chain off: out_scale is stripped
+    off = base.replace(quant=dataclasses.replace(
+        base.quant, int8=True, chain_requant=False))
+    out = cli._build_quant(off, params=params, batch_stats=None,
+                           records=None)
+    assert "out_scale" not in out["trunk"]["conv1_1"]
+    np.testing.assert_allclose(out["trunk"]["conv1_1"]["act_scale"], 0.031,
+                               rtol=1e-6)
+
+
+def test_unchain_scales_inverts_chain_scales():
+    """quant.unchain_scales removes exactly the out_scale leaves
+    chain_scales adds (and leaves a chained input untouched)."""
+    import numpy as np
+    from objectdetection_ssd_tpu.infer import quant as quant_lib
+    src, dst = quant_lib.CHAIN_EDGES["vgg16"][0]
+    qtree = {}
+    for path in (src, dst):
+        node = qtree
+        for seg in path[:-1]:
+            node = node.setdefault(seg, {})
+        node[path[-1]] = {"act_scale": np.float32(0.5)}
+    chained = quant_lib.chain_scales(qtree, "vgg16")
+    assert "out_scale" in quant_lib._subtree(chained, src)
+    unchained = quant_lib.unchain_scales(chained)
+    assert "out_scale" not in quant_lib._subtree(unchained, src)
+    assert quant_lib._subtree(unchained, dst)["act_scale"] == np.float32(0.5)
+    # chain input untouched by unchain (deep copy semantics)
+    assert "out_scale" in quant_lib._subtree(chained, src)
+
+
 def test_pp_flags_reach_config():
     cfg = cli.build_config(_parse(["train", "--pp", "2",
-                                   "--pp-microbatches", "4"]))
+                                   "--pp-microbatches", "4",
+                                   "--pp-dp", "2"]))
     assert cfg.train.pp_stages == 2
     assert cfg.train.pp_microbatches == 4
+    assert cfg.train.pp_dp == 2
     cfg = cli.build_config(_parse(["train"]))
     assert cfg.train.pp_stages == 0
     assert cfg.train.pp_microbatches == 1
+    assert cfg.train.pp_dp == 1
 
 
 def test_pp_mutually_exclusive_with_mesh_strategies():
