@@ -67,8 +67,9 @@ def main() -> int:
     from objectdetection_ssd_tpu.train.state import create_train_state
 
     records = voc.load_records(root, train=True)
-    train_recs, val_recs = voc.train_val_split(records, val_fraction=0.1,
-                                               seed=10)
+    train_ids, val_ids = voc.train_val_split(len(records), 0.1, 10)
+    train_recs = [records[i] for i in train_ids]
+    val_recs = [records[i] for i in val_ids]
     print(json.dumps({"stage": "records", "train": len(train_recs),
                       "val": len(val_recs)}), flush=True)
 
