@@ -95,15 +95,31 @@ def main() -> int:
                     "images_per_sec": round(n / dt, 1),
                     "ms_per_image": round(1e3 * dt / n, 2)}), flush=True)
 
-        # ---- sustained full train step (the rehearsal path) -------------
+        # ---- H2D micro-probe: fenced device_put of one uint8 batch ------
+        # (the relay's H2D rate with a REAL host-pull fence; CLAUDE.md:
+        # block_until_ready does not fence on this backend)
+        for bs in (64, 128):
+            buf = np.random.randint(0, 255, (bs, 300, 300, 3), np.uint8)
+            jax.device_get(jax.device_put(buf)[0, 0, 0, 0])      # warm
+            t0 = time.perf_counter()
+            reps = 5
+            for _ in range(reps):
+                jax.device_get(jax.device_put(buf)[0, 0, 0, 0])
+            dt = (time.perf_counter() - t0) / reps
+            print(json.dumps({
+                "stage": "h2d_fenced_put", "batch": bs,
+                "mb": round(buf.nbytes / 1e6, 1),
+                "put_ms": round(1e3 * dt, 1),
+                "mb_per_sec": round(buf.nbytes / 1e6 / dt, 1)}), flush=True)
+
+        # ---- sustained full train step (the rehearsal path), with the
+        # threaded pad+H2D stage (TrainConfig.device_prefetch) A/B'd ----
         on_tpu = jax.devices()[0].platform != "cpu"
         model = SSD300(dtype=jnp.bfloat16 if on_tpu else jnp.float32)
         priors = jnp.asarray(priors_lib.ssd300_priors())
         mesh = mesh_lib.create_mesh()
         for bs in (64, 128):
             cfg = DataConfig(batch_size=bs, num_workers=0, augment=True)
-            loader = Loader(train_recs, cfg, image_size=300, train=True,
-                            seed=0, cache_path=cache)
             state = create_train_state(model, jax.random.PRNGKey(0),
                                        jnp.zeros((1, 300, 300, 3)),
                                        OptimConfig(use_lr_schedule=False))
@@ -111,6 +127,8 @@ def main() -> int:
             train_step, _ = loop_lib.make_jitted_steps(
                 priors, LossConfig(), mesh=mesh, donate=True,
                 scoped_vmem_limit_kib=TrainConfig().scoped_vmem_limit_kib)
+            loader = Loader(train_recs, cfg, image_size=300, train=True,
+                            seed=0, cache_path=cache)
             first = next(iter(loader.epoch(0)))
             first = {k: v for k, v in first.items() if k != "image_ids"}
             t0 = time.perf_counter()
@@ -118,23 +136,32 @@ def main() -> int:
                                         mesh_lib.shard_batch(first, mesh))
             float(metrics["loss"])
             compile_s = time.perf_counter() - t0
-            n_steps = 0
-            t0 = time.perf_counter()
-            for batch in prefetch(loader.epoch(1)):
-                batch = {k: v for k, v in batch.items()
-                         if k != "image_ids"}
-                state, metrics = train_step(
-                    state, mesh_lib.shard_batch(batch, mesh))
-                n_steps += 1
-            float(metrics["loss"])                    # fence
-            dt = time.perf_counter() - t0
+
+            def _shard_iter(host_iter):
+                for batch in host_iter:
+                    batch = {k: v for k, v in batch.items()
+                             if k != "image_ids"}
+                    yield mesh_lib.shard_batch(batch, mesh)
+
+            for dp in (False, True):
+                n_steps = 0
+                stream = _shard_iter(prefetch(loader.epoch(1)))
+                if dp:
+                    stream = prefetch(stream)
+                t0 = time.perf_counter()
+                for batch in stream:
+                    state, metrics = train_step(state, batch)
+                    n_steps += 1
+                float(metrics["loss"])                    # fence
+                dt = time.perf_counter() - t0
+                print(json.dumps({
+                    "stage": "sustained_train", "batch": bs,
+                    "device_prefetch": dp,
+                    "epoch_images": n_steps * bs,
+                    "images_per_sec": round(n_steps * bs / dt, 1),
+                    "epoch_wall_s": round(dt, 1),
+                    "compile_s": round(compile_s, 1)}), flush=True)
             loader.close()
-            print(json.dumps({
-                "stage": "sustained_train", "batch": bs,
-                "epoch_images": n_steps * bs,
-                "images_per_sec": round(n_steps * bs / dt, 1),
-                "epoch_wall_s": round(dt, 1),
-                "compile_s": round(compile_s, 1)}), flush=True)
 
     if not args.skip_eval:
         # ---- eval decomposition on the val split -------------------------

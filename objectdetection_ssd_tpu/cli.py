@@ -41,6 +41,12 @@ def _common_flags(p: argparse.ArgumentParser):
                    help="image batch dtype shipped to the device (default "
                         "uint8: raw pixels, 4x less H2D, normalized "
                         "on-device)")
+    p.add_argument("--compilation-cache", default=None, metavar="DIR",
+                   help="persistent XLA compilation-cache directory: "
+                        "compiled programs serialize here and later "
+                        "processes reload them instead of recompiling "
+                        "(kills the first-batch compile wall for fresh "
+                        "eval/detect/serve processes)")
     p.add_argument("--synthetic", action="store_true",
                    help="generate a synthetic VOC fixture at --voc-root "
                         "(for smoke tests without the dataset)")
@@ -114,6 +120,12 @@ def build_config(args) -> config_lib.Config:
             cfg.train, tensorboard_dir=args.tb_dir))
     if getattr(args, "remat", False):
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, remat=True))
+    if getattr(args, "device_prefetch", None) is not None:
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, device_prefetch=args.device_prefetch))
+    if getattr(args, "compilation_cache", None):
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, compilation_cache_dir=args.compilation_cache))
     if getattr(args, "hnm_topk", None) is not None:
         cfg = cfg.replace(loss=dataclasses.replace(
             cfg.loss, hnm_topk=args.hnm_topk))
@@ -723,6 +735,15 @@ def main(argv: Optional[List[str]] = None) -> int:
                          help="run val mAP evaluation every N epochs "
                               "(0 = off; the reference evaluates mAP "
                               "out-of-band from notebooks)")
+    p_train.add_argument("--device-prefetch", dest="device_prefetch",
+                         action="store_true", default=None,
+                         help="stage the pad+H2D device_put of each batch "
+                              "on its own thread so the copy overlaps both "
+                              "host prep and the device step "
+                              "(TrainConfig.device_prefetch)")
+    p_train.add_argument("--no-device-prefetch", dest="device_prefetch",
+                         action="store_false",
+                         help="disable the H2D prefetch stage (A/B)")
     p_train.add_argument("--profile-dir", default=None,
                          help="capture a jax.profiler trace of the first "
                               "epoch to this directory")
@@ -911,7 +932,24 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_exp.set_defaults(fn=cmd_export)
 
     args = parser.parse_args(argv)
+    if getattr(args, "compilation_cache", None):
+        apply_compilation_cache(args.compilation_cache)
     return args.fn(args)
+
+
+def apply_compilation_cache(path: str) -> None:
+    """Enable JAX's persistent compilation cache at ``path``.
+
+    Must run before the first compile of the process.  Thresholds are
+    zeroed so every program caches (the defaults skip sub-second
+    compiles — on this backend even tiny programs pay a relay RPC).
+    Programmatic users call this directly;  `cli main` applies it from
+    `--compilation-cache` before dispatching any subcommand.
+    """
+    import jax
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 if __name__ == "__main__":

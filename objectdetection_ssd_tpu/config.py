@@ -274,6 +274,14 @@ class TrainConfig:
     # parallelism (the remaining devices after the pipeline cut).
     pp_dp: int = 1
     donate_state: bool = True
+    # Third pipeline stage for the input stream: run the pad + H2D
+    # device_put of each batch on its own thread (data/pipeline.prefetch
+    # around Trainer.to_device), so the copy of batch N+1 overlaps both
+    # the host prep of batch N+2 and the device step of batch N.  The
+    # reference overlaps only host prep (DataLoader workers,
+    # `train.py:29`).  Identical numerics: the stream is deterministic
+    # and ordered either way.
+    device_prefetch: bool = False
     # Gradient-checkpoint the forward at VGG stage boundaries
     # (jax.checkpoint + save_only_these_names over the trunk's
     # VGG_STAGE_CKPT markers): ~1/3 extra forward FLOPs for a large
@@ -294,6 +302,16 @@ class TrainConfig:
     # so it is applied to the TRAIN step only (RESULTS.md "scoped-VMEM
     # compiler option").  None/0 = compiler default.  Ignored on CPU.
     scoped_vmem_limit_kib: Optional[int] = 65536
+    # Persistent XLA compilation cache directory (`--compilation-cache`,
+    # all subcommands): compiled executables are serialized here and
+    # reloaded by later processes, so a fresh `eval`/`detect`/`serve`
+    # process skips its multi-minute first-batch compile wall (the
+    # reference has no compiles to cache; this is a TPU-runtime concern).
+    # None = off (JAX default).  Applied via
+    # jax.config.update("jax_compilation_cache_dir", ...) before the
+    # first compile; min-compile-time/entry-size thresholds are zeroed so
+    # every program caches.
+    compilation_cache_dir: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)

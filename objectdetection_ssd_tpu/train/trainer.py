@@ -252,23 +252,35 @@ class Trainer:
         # Each process holds 1/n_proc of every global batch's rows
         # (Loader(shard=...)); on one process local == global.
         local_full = full_bs // self._n_proc
-        for batch in prefetch(loader.epoch(epoch)):
-            # Real GLOBAL row count (metric weighting); == local shape[0]
-            # on a single process.
-            gbs = int(batch.pop("global_size", batch["images"].shape[0]))
-            batch = {k: v for k, v in batch.items() if k != "image_ids"}
-            if batch["images"].shape[0] < local_full:
-                # Pad the tail batch to the static batch shape (one XLA
-                # compilation, mesh-divisible).  Padded images carry an
-                # all-false GT mask, so they contribute zero positives and
-                # zero hard negatives — the batch loss is exactly the loss
-                # over the real images (the reference evaluates its full
-                # held-out phase, `train_function.py:47-52`).
-                pad = local_full - batch["images"].shape[0]
-                batch = {k: np.concatenate(
-                    [v, np.zeros((pad,) + v.shape[1:], v.dtype)])
-                    for k, v in batch.items()}
-            batch = mesh_lib.shard_batch(batch, self.mesh)
+        def to_device(host_iter):
+            for batch in host_iter:
+                # Real GLOBAL row count (metric weighting); == local
+                # shape[0] on a single process.
+                gbs = int(batch.pop("global_size",
+                                    batch["images"].shape[0]))
+                batch = {k: v for k, v in batch.items()
+                         if k != "image_ids"}
+                if batch["images"].shape[0] < local_full:
+                    # Pad the tail batch to the static batch shape (one XLA
+                    # compilation, mesh-divisible).  Padded images carry an
+                    # all-false GT mask, so they contribute zero positives
+                    # and zero hard negatives — the batch loss is exactly
+                    # the loss over the real images (the reference
+                    # evaluates its full held-out phase,
+                    # `train_function.py:47-52`).
+                    pad = local_full - batch["images"].shape[0]
+                    batch = {k: np.concatenate(
+                        [v, np.zeros((pad,) + v.shape[1:], v.dtype)])
+                        for k, v in batch.items()}
+                yield gbs, mesh_lib.shard_batch(batch, self.mesh)
+
+        stream = to_device(prefetch(loader.epoch(epoch)))
+        if self.config.train.device_prefetch:
+            # Second pipeline stage on its own thread: the H2D copy of
+            # batch N+1 overlaps BOTH the host prep of batch N+2 and the
+            # device step of batch N.
+            stream = prefetch(stream)
+        for gbs, batch in stream:
             if train:
                 self.state, metrics = self.train_step(self.state, batch)
             else:

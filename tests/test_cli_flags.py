@@ -3,11 +3,15 @@
 Pure-host tests: no model build, no device work — they pin that every
 training/eval knob actually lands in the Config it claims to set."""
 
+import os
+import pathlib
 import unittest.mock as mock
 
 import pytest
 
 from objectdetection_ssd_tpu import cli
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
 
 
 def _parse(argv):
@@ -45,6 +49,53 @@ def test_train_flags_reach_config():
     assert cfg.data.batch_size == 16
     assert cfg.data.parity_split is True
     assert cfg.loss.hnm_topk == 0
+
+
+def test_device_prefetch_flags():
+    cfg = cli.build_config(_parse(["train", "--device-prefetch"]))
+    assert cfg.train.device_prefetch is True
+    cfg = cli.build_config(_parse(["train", "--no-device-prefetch"]))
+    assert cfg.train.device_prefetch is False
+    # no flag -> dataclass default untouched
+    from objectdetection_ssd_tpu.config import TrainConfig
+    cfg = cli.build_config(_parse(["train"]))
+    assert cfg.train.device_prefetch == TrainConfig().device_prefetch
+
+
+def test_compilation_cache_flag(tmp_path):
+    cache = str(tmp_path / "xla_cache")
+    cfg = cli.build_config(_parse(["eval", "--compilation-cache", cache]))
+    assert cfg.train.compilation_cache_dir == cache
+    cfg = cli.build_config(_parse(["eval"]))
+    assert cfg.train.compilation_cache_dir is None
+
+
+def test_compilation_cache_populates(tmp_path):
+    """apply_compilation_cache makes jit compiles persist: a fresh
+    subprocess writes cache entries, a second subprocess reuses them
+    (entry count stays flat while both produce the same result)."""
+    import subprocess
+    import sys
+
+    cache = str(tmp_path / "xla_cache")
+    prog = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from objectdetection_ssd_tpu import cli\n"
+        "cli.apply_compilation_cache(%r)\n"
+        "import jax, jax.numpy as jnp\n"
+        "print(float(jax.jit(lambda x: (x @ x).sum())"
+        "(jnp.ones((64, 64)))))\n"
+        % (str(ROOT), cache)
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out1 = subprocess.run([sys.executable, "-c", prog], env=env,
+                          capture_output=True, text=True, check=True)
+    files = list((tmp_path / "xla_cache").iterdir())
+    assert files, "no cache entries written"
+    out2 = subprocess.run([sys.executable, "-c", prog], env=env,
+                          capture_output=True, text=True, check=True)
+    assert out1.stdout == out2.stdout
+    assert len(list((tmp_path / "xla_cache").iterdir())) == len(files)
 
 
 def test_resnet_backbone_sets_image_size():

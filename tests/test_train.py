@@ -483,6 +483,48 @@ def test_trainer_eval_phase_covers_tail(tmp_path):
     assert np.isfinite(avg)
 
 
+def test_device_prefetch_stage_is_bit_identical(tmp_path):
+    """`TrainConfig.device_prefetch` (the threaded pad+H2D pipeline stage,
+    `cli train --device-prefetch`) is a scheduling change only: one train
+    epoch must produce bit-identical params with the stage on and off."""
+    import dataclasses
+
+    from objectdetection_ssd_tpu.config import (Config, DataConfig,
+                                                ModelConfig, TrainConfig)
+    from objectdetection_ssd_tpu.data import synthetic, voc
+    from objectdetection_ssd_tpu.data.pipeline import Loader
+    from objectdetection_ssd_tpu.train.trainer import Trainer
+
+    root = tmp_path / "voc"
+    synthetic.generate_voc(str(root), num_2007=19, num_2012=0,
+                           image_size=(64, 64), seed=7)
+    records = voc.load_records(str(root), train=True)
+
+    def run(device_prefetch):
+        cfg = Config(
+            model=ModelConfig(image_size=16),
+            data=DataConfig(voc_root=str(root), batch_size=8,
+                            num_workers=0, max_boxes=4),
+            train=TrainConfig(num_epochs=1,
+                              checkpoint_dir=str(tmp_path / "ck"),
+                              checkpoint_every_epochs=0, log_every_steps=0,
+                              device_prefetch=device_prefetch),
+        )
+        loader = Loader(records, cfg.data, cfg.model.image_size,
+                        train=True, seed=3)
+        trainer = Trainer(cfg, loader, model=TinySSD(),
+                          priors=_tiny_priors())
+        loss = trainer._run_phase(0, train=True)
+        return loss, jax.device_get(trainer.state.params)
+
+    loss_off, params_off = run(False)
+    loss_on, params_on = run(True)
+    assert loss_off == loss_on
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b),
+        params_off, params_on)
+
+
 def test_dropout_stream_follows_seed():
     """Two train steps that differ only in the configured seed must draw
     different dropout masks (round-1 weakness: every run reused PRNGKey(0))."""
