@@ -206,11 +206,38 @@ def main() -> int:
                           "ms_per_image":
                           round(1e3 * dt / len(sample), 2)}), flush=True)
 
+        # host prep through the packed cache (eval --image-cache): the PIL
+        # JPEG decode is replaced by an mmap'd pixel read.
+        from objectdetection_ssd_tpu.data import cache as cache_lib
+        val_cache = os.path.join(args.workdir, "cache.val")
+        t0 = time.perf_counter()
+        cache_lib.build([r.image_path for r in val_recs], val_cache,
+                        num_workers=4)
+        build_s = time.perf_counter() - t0
+
+        def prep_cached(i):
+            raw = cache_lib.get_image(val_cache, i)
+            return data_pipeline.preprocess_image(raw, size)
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            list(pool.map(prep_cached, range(32)))    # warm the mmap
+            t0 = time.perf_counter()
+            list(pool.map(prep_cached, range(len(sample))))
+            dt = time.perf_counter() - t0
+        print(json.dumps({"stage": "eval_host_prep_cached",
+                          "cache_build_s": round(build_s, 1),
+                          "images_per_sec": round(len(sample) / dt, 1),
+                          "ms_per_image":
+                          round(1e3 * dt / len(sample), 2)}), flush=True)
+
         u8 = cfg.data.transfer_dtype == "uint8"
         warm = (np.zeros((64, size, size, 3), np.uint8) if u8
                 else np.zeros((64, size, size, 3), np.float32))
-        for name, pp in (("exact", exact_eval_postprocess(cfg.postprocess)),
-                         ("approx", cfg.postprocess)):
+        for name, pp, kw in (
+                ("exact", exact_eval_postprocess(cfg.postprocess), {}),
+                ("approx", cfg.postprocess, {}),
+                ("exact_cached", exact_eval_postprocess(cfg.postprocess),
+                 {"image_cache": val_cache})):
             det = Detector(cfg, params, batch_stats, postprocess_config=pp)
             t0 = time.perf_counter()
             # Host pull, not block_until_ready: the relay does not fence
@@ -220,7 +247,7 @@ def main() -> int:
             t0 = time.perf_counter()
             aps, mean_ap = evaluate_records(cfg, params, val_recs,
                                             batch_stats=batch_stats,
-                                            detector=det)
+                                            detector=det, **kw)
             dt = time.perf_counter() - t0
             print(json.dumps({
                 "stage": f"eval_{name}_postprocess",

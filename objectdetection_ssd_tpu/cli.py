@@ -436,9 +436,14 @@ def cmd_train(args) -> int:
                     cfg, params, stats,
                     postprocess_config=exact_eval_postprocess(
                         cfg.postprocess)))
-            aps, mean_ap = evaluate_records(cfg, params, val_recs,
-                                            batch_stats=stats,
-                                            detector=cached_detector[0])
+            aps, mean_ap = evaluate_records(
+                cfg, params, val_recs, batch_stats=stats,
+                detector=cached_detector[0],
+                # Reuse the training cache's prefix for a val-split cache:
+                # the in-training eval re-preps the same val images every
+                # N epochs, so the one-time decode amortizes immediately.
+                image_cache=(args.image_cache + ".val"
+                             if args.image_cache else None))
             print(f"epoch {epoch}: val mAP = {mean_ap:.4f}")
             if jax.process_count() > 1:
                 # Release the other processes waiting at the barrier above.
@@ -581,12 +586,17 @@ def cmd_eval(args) -> int:
         mesh = mesh_lib.create_mesh((1, sec[1]), ("data", sec[0]),
                                     devices=devs[:sec[1]])
     quant = _build_quant(cfg, params, batch_stats, records=train_recs)
+    # Per-split cache suffix: the cache digest is over the scored split's
+    # ordered path list, so one prefix serving both splits would rebuild on
+    # every alternation.
+    cache = (args.image_cache + f".{args.split}"
+             if getattr(args, "image_cache", None) else None)
     out = evaluate_records(cfg, params, records, batch_stats=batch_stats,
                            iou_sweep=args.iou_sweep,
                            pr_curves_path=(args.pr_curves
                                            if distributed.is_primary()
                                            else None),
-                           mesh=mesh, quant=quant)
+                           mesh=mesh, quant=quant, image_cache=cache)
     aps, mean_ap = out[0], out[1]
     if not distributed.is_primary():
         # Every process computed the identical mAP (the detections
@@ -876,6 +886,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_eval.add_argument("--allow-random-init", action="store_true",
                         help="proceed with random weights when no "
                              "checkpoint is found (smoke tests)")
+    p_eval.add_argument("--image-cache", default=None,
+                        help="path prefix for a packed decoded-image cache "
+                             "over the scored split (built on first use; "
+                             "bit-exact; removes per-eval JPEG decode + "
+                             "cold-corpus file I/O — RESULTS.md 'Eval "
+                             "throughput attribution')")
     p_eval.add_argument("--data-parallel", type=int, default=0,
                         metavar="N",
                         help="shard eval batches over an N-device data "
@@ -918,11 +934,17 @@ def main(argv: Optional[List[str]] = None) -> int:
                        help="artifact batch shape (default 8; "
                             "--latency-profile defaults it to 1)")
     p_exp.add_argument("--latency-profile", action="store_true",
-                       help="latency-serving preset: per-class NMS "
+                       help="device-latency preset: per-class NMS "
                             "candidates 32 + int8 quantization + batch-1 "
-                            "artifact (the measured p50/p99 winners — "
-                            "RESULTS.md serving section); any explicit "
-                            "flag still overrides its piece")
+                            "artifact (the measured DEVICE-throughput "
+                            "winners).  Use when the device is the "
+                            "bottleneck (batched offline scoring, "
+                            "saturated co-located servers); measured "
+                            "neutral-to-negative for bs=1 HTTP serving, "
+                            "where host+transport dominate — keep the "
+                            "default export there (RESULTS.md "
+                            "'--latency-profile A/B').  Any explicit flag "
+                            "still overrides its piece")
     p_exp.add_argument("--allow-random-init", action="store_true",
                        help="export with random weights when no checkpoint "
                             "is found (smoke tests)")

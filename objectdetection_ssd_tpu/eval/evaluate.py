@@ -47,7 +47,7 @@ def _evaluate_local(detector, records, bs, prep,
     # GIL, so threads overlap host preprocessing with the device batches.
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=4) as pool:
-        prepared = pool.map(prep, records)
+        prepared = pool.map(prep, enumerate(records))
         for start in range(0, len(records), bs):
             chunk = [next(prepared) for _ in
                      range(min(bs, len(records) - start))]
@@ -106,9 +106,10 @@ def _evaluate_multihost(detector, records, bs, prep,
     # decode with the device batches (round-4 verdict weakness 7: the
     # multi-host path — whose whole reason to exist is large val sets —
     # prepped serially).
-    local_records = [records[min(start + k, len(records) - 1)]
+    local_records = [(i, records[i])
                      for start in range(0, len(records), bs)
-                     for k in range(lo, hi)]
+                     for k in range(lo, hi)
+                     for i in [min(start + k, len(records) - 1)]]
     with ThreadPoolExecutor(max_workers=4) as pool:
         prepared = pool.map(prep, local_records)
         # Fixed GT pad for the allgather (ragged lists can't cross hosts):
@@ -152,7 +153,8 @@ def evaluate_records(config: Config, params: Any, records: List[ImageRecord],
                      detector: Optional[Detector] = None,
                      iou_sweep: bool = False,
                      pr_curves_path: Optional[str] = None,
-                     mesh=None, quant=None):
+                     mesh=None, quant=None,
+                     image_cache: Optional[str] = None):
     """Returns (per-class AP, mAP) over ``records``.
 
     GT handling matches the reference protocol: difficult objects are
@@ -177,6 +179,16 @@ def evaluate_records(config: Config, params: Any, records: List[ImageRecord],
     mesh's devices (the TPU-scale path for large val sets; the reference
     evaluates on one GPU, SURVEY.md §3.5).  The batch size is rounded up
     to a multiple of the mesh's batch ways so every shard is non-empty.
+
+    ``image_cache``: optional path prefix for a packed decoded-image cache
+    (data/cache.py) over ``records``, built on first use.  Serves mmap'd
+    raw pixels instead of a per-eval JPEG decode, bit-exactly
+    (`load_image` is uint8/255, so the uint8 round trip is the identity;
+    mAP pinned identical at 1,655-image scale).  Measured value is
+    cold-start/repeat-eval insurance — first-touch file I/O made cold
+    eval prep 2.9x slower; warm-corpus throughput is neutral (RESULTS.md
+    "Eval throughput attribution").  The reference re-decodes every JPEG
+    per evaluation (`Dataset.py:25`).
     """
     import jax as _jax
     if _jax.process_count() > 1 and mesh is None and (
@@ -211,9 +223,19 @@ def evaluate_records(config: Config, params: Any, records: List[ImageRecord],
 
     u8 = config.data.transfer_dtype == "uint8"
 
-    def prep(rec: ImageRecord):
+    if image_cache is not None:
+        from objectdetection_ssd_tpu.data import cache as cache_lib
+        cache_lib.build([r.image_path for r in records], image_cache,
+                        num_workers=config.data.num_workers)
+
+    def prep(item: Tuple[int, ImageRecord]):
+        idx, rec = item
         r = rec if keep_difficult else rec.without_difficult()
-        raw = data_pipeline.load_image(r.image_path)
+        if image_cache is not None:
+            from objectdetection_ssd_tpu.data import cache as cache_lib
+            raw = cache_lib.get_image(image_cache, idx)
+        else:
+            raw = data_pipeline.load_image(r.image_path)
         h, w = raw.shape[:2]
         norm = (r.boxes_xyxy /
                 np.asarray([w, h, w, h], np.float32)).astype(np.float32)

@@ -137,6 +137,48 @@ def test_evaluate_records_runs(tiny_setup):
                                atol=0.01)
 
 
+def test_evaluate_records_image_cache_bit_exact(tiny_setup, tmp_path):
+    """evaluate_records(image_cache=...) must score identically to the
+    JPEG-decode path: load_image is uint8/255, so the cache's uint8 round
+    trip is the identity and the mAP/APs must match exactly (not approx)."""
+    records, cfg = tiny_setup
+    from objectdetection_ssd_tpu.eval.evaluate import evaluate_records
+    from objectdetection_ssd_tpu.infer import detector as detector_lib
+    from objectdetection_ssd_tpu.infer.postprocess import postprocess
+
+    model = TinyDet()
+    params = model.init(jax.random.PRNGKey(1),
+                        jnp.zeros((1, 64, 64, 3)))["params"]
+    det = detector_lib.Detector.__new__(detector_lib.Detector)
+    det.config = cfg
+    det.model = model
+    det.params = params
+    det.batch_stats = None
+    det.pp_config = dataclasses.replace(
+        cfg.postprocess, per_class_top_k=16, top_k=20,
+        use_approx_top_k=False)
+    det.priors = jnp.asarray(_tiny_priors())
+
+    def _infer(p, bs, imgs):
+        loc, conf = model.apply({"params": p}, imgs, train=False)
+        return postprocess(loc, conf, det.priors, det.pp_config)
+
+    det._infer = jax.jit(_infer)
+
+    recs = records[:10]
+    aps_plain, map_plain = evaluate_records(cfg, params, recs, detector=det)
+    cache = str(tmp_path / "evalcache")
+    aps_cached, map_cached = evaluate_records(cfg, params, recs,
+                                              detector=det,
+                                              image_cache=cache)
+    assert aps_plain == aps_cached
+    assert map_plain == map_cached
+    # Second cached run reuses the built cache (idempotent build).
+    aps2, map2 = evaluate_records(cfg, params, recs, detector=det,
+                                  image_cache=cache)
+    assert map2 == map_cached
+
+
 def test_emergency_checkpoint_on_failure(tiny_setup, tmp_path):
     records, cfg = tiny_setup
     cfg = dataclasses.replace(
