@@ -439,6 +439,11 @@ def cmd_train(args) -> int:
             aps, mean_ap = evaluate_records(
                 cfg, params, val_recs, batch_stats=stats,
                 detector=cached_detector[0],
+                # Primary-only side eval: the other processes are parked
+                # at the host barrier above, so this must NOT enter the
+                # collective multi-host eval path (they would deadlock) —
+                # local_only runs it on this process's devices alone.
+                local_only=True,
                 # Reuse the training cache's prefix for a val-split cache:
                 # the in-training eval re-preps the same val images every
                 # N epochs, so the one-time decode amortizes immediately.

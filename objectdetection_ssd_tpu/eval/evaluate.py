@@ -154,7 +154,8 @@ def evaluate_records(config: Config, params: Any, records: List[ImageRecord],
                      iou_sweep: bool = False,
                      pr_curves_path: Optional[str] = None,
                      mesh=None, quant=None,
-                     image_cache: Optional[str] = None):
+                     image_cache: Optional[str] = None,
+                     local_only: bool = False):
     """Returns (per-class AP, mAP) over ``records``.
 
     GT handling matches the reference protocol: difficult objects are
@@ -180,6 +181,13 @@ def evaluate_records(config: Config, params: Any, records: List[ImageRecord],
     evaluates on one GPU, SURVEY.md §3.5).  The batch size is rounded up
     to a multiple of the mesh's batch ways so every shard is non-empty.
 
+    ``local_only``: evaluate on THIS process's devices even inside a
+    multi-process run (no collectives, no allgather).  For primary-only
+    side evaluations where the other processes wait at a host barrier —
+    the in-training `--eval-map-every` callback (cli.py) — which must not
+    enter the collective `_evaluate_multihost` path the non-participating
+    processes would deadlock.
+
     ``image_cache``: optional path prefix for a packed decoded-image cache
     (data/cache.py) over ``records``, built on first use.  Serves mmap'd
     raw pixels instead of a per-eval JPEG decode, bit-exactly
@@ -191,13 +199,14 @@ def evaluate_records(config: Config, params: Any, records: List[ImageRecord],
     per evaluation (`Dataset.py:25`).
     """
     import jax as _jax
-    if _jax.process_count() > 1 and mesh is None and (
-            detector is None or detector.mesh is None):
+    if (not local_only and _jax.process_count() > 1 and mesh is None
+            and (detector is None or detector.mesh is None)):
         raise ValueError(
             "multi-host evaluation needs a global mesh spanning every "
             "process's devices (cmd_eval builds one via "
             "distributed.create_global_mesh); a mesh-less Detector would "
-            "device_put full host batches onto non-addressable devices")
+            "device_put full host batches onto non-addressable devices. "
+            "For a deliberate one-process side eval pass local_only=True")
     if detector is None:
         detector = Detector(config, params, batch_stats,
                             postprocess_config=exact_eval_postprocess(
@@ -245,7 +254,7 @@ def evaluate_records(config: Config, params: Any, records: List[ImageRecord],
         return img, norm, r.classes
 
     import jax
-    if jax.process_count() > 1:
+    if jax.process_count() > 1 and not local_only:
         _evaluate_multihost(detector, records, bs, prep,
                             det_boxes, det_classes, det_scores,
                             gt_boxes, gt_classes)

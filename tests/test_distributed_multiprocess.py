@@ -292,6 +292,98 @@ def test_two_process_eval_matches_single_process(tmp_path):
         assert _parse_map(outs2[pid], pid) == ref
 
 
+# Primary-only LOCAL side eval inside a 2-process run — the exact structure
+# of cli.cmd_train's --eval-map-every callback: proc 1 parks at a host
+# barrier while proc 0 evaluates with a MESH-LESS detector and
+# local_only=True (without it, evaluate_records either raises the global-
+# mesh ValueError or enters the collective path and deadlocks).
+_EVAL_LOCAL_CHILD = """
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+port, pid, nproc = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+repo, root = sys.argv[4], sys.argv[5]
+sys.path.insert(0, repo)
+from objectdetection_ssd_tpu.parallel import distributed
+if nproc > 1:
+    distributed.initialize(f"localhost:{port}", num_processes=nproc,
+                           process_id=pid)
+assert jax.process_count() == nproc and len(jax.devices()) == 2 * nproc
+
+import dataclasses
+import jax.numpy as jnp
+from objectdetection_ssd_tpu.config import Config, DataConfig, ModelConfig
+from objectdetection_ssd_tpu.data import synthetic, voc
+from objectdetection_ssd_tpu.eval.evaluate import evaluate_records
+from objectdetection_ssd_tpu.infer.detector import Detector
+from tests.test_end_to_end import TinyDet, _tiny_priors
+
+synthetic.generate_voc(root, num_2007=10, num_2012=0, image_size=(96, 96),
+                       seed=11)
+records = voc.load_records(root, train=True)
+cfg = Config(model=ModelConfig(image_size=64),
+             data=DataConfig(voc_root=root, batch_size=4, num_workers=0))
+model = TinyDet()
+params = model.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, 64, 64, 3)))["params"]
+pp = dataclasses.replace(cfg.postprocess, per_class_top_k=16, top_k=20,
+                         use_approx_top_k=False, anchor_prefilter=0)
+if nproc > 1 and pid != 0:
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("side_eval")
+    print(f"proc {pid} EVAL mAP=waited")
+else:
+    det = Detector(cfg, params, postprocess_config=pp, model=model,
+                   priors=_tiny_priors())        # NO mesh — local detector
+    aps, mean_ap = evaluate_records(cfg, params, records, detector=det,
+                                    local_only=True)
+    if nproc > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("side_eval")
+    print(f"proc {pid} EVAL mAP={mean_ap:.10f}")
+"""
+
+
+@pytest.mark.slow
+def test_primary_only_local_eval_in_two_process_run(tmp_path):
+    """local_only=True evaluates on the primary alone (mesh-less Detector)
+    while the other process waits at the cmd_train barrier — and matches
+    the single-process mAP bit-for-bit."""
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "PYTHONPATH")}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+    def run(nproc, tag):
+        procs = []
+        for pid in range(nproc):
+            root = os.path.join(str(tmp_path), f"voc_sideeval_{tag}_{pid}")
+            procs.append(subprocess.Popen(
+                [sys.executable, "-c", _EVAL_LOCAL_CHILD, str(port),
+                 str(pid), str(nproc), REPO, root],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True))
+        outs = []
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=420)
+                outs.append(out)
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                p.kill()
+            pytest.fail(f"{tag} side-eval children timed out; outputs: "
+                        + "\n".join(outs))
+        for pid, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"{tag} proc {pid} failed:\n{out}"
+        return outs
+
+    outs2 = run(2, "two")
+    outs1 = run(1, "one")
+    assert _parse_map(outs2[0], 0) == _parse_map(outs1[0], 0)
+    assert "proc 1 EVAL mAP=waited" in outs2[1]
+
+
 @pytest.mark.slow
 def test_two_process_distributed_mesh():
     port = _free_port()
