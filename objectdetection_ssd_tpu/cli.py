@@ -126,6 +126,9 @@ def build_config(args) -> config_lib.Config:
     if getattr(args, "compilation_cache", None):
         cfg = cfg.replace(train=dataclasses.replace(
             cfg.train, compilation_cache_dir=args.compilation_cache))
+    if getattr(args, "image_cache", None):
+        cfg = cfg.replace(data=dataclasses.replace(
+            cfg.data, image_cache=args.image_cache))
     if getattr(args, "hnm_topk", None) is not None:
         cfg = cfg.replace(loss=dataclasses.replace(
             cfg.loss, hnm_topk=args.hnm_topk))
@@ -164,6 +167,14 @@ def build_config(args) -> config_lib.Config:
             cfg.train, pp_stages=args.pp,
             pp_microbatches=max(getattr(args, "pp_microbatches", 1), 1),
             pp_dp=max(getattr(args, "pp_dp", 1), 1)))
+    elif (max(getattr(args, "pp_dp", 1) or 1, 1) > 1
+          or max(getattr(args, "pp_microbatches", 1) or 1, 1) > 1):
+        # Silently running plain single-mesh training here would let the
+        # user believe the PPxDP composition ran and draw scaling
+        # conclusions from the wrong configuration.
+        raise SystemExit("--pp-dp/--pp-microbatches require --pp N (N>1): "
+                         "they configure the pipeline's stage meshes and "
+                         "microbatch schedule")
     q_kw = {}
     if getattr(args, "int8", False):
         q_kw["int8"] = True
@@ -447,8 +458,8 @@ def cmd_train(args) -> int:
                 # Reuse the training cache's prefix for a val-split cache:
                 # the in-training eval re-preps the same val images every
                 # N epochs, so the one-time decode amortizes immediately.
-                image_cache=(args.image_cache + ".val"
-                             if args.image_cache else None))
+                image_cache=(cfg.data.image_cache + ".val"
+                             if cfg.data.image_cache else None))
             print(f"epoch {epoch}: val mAP = {mean_ap:.4f}")
             if jax.process_count() > 1:
                 # Release the other processes waiting at the barrier above.
@@ -457,7 +468,7 @@ def cmd_train(args) -> int:
                     f"eval_map_epoch_{epoch}")
     train_loader = Loader(train_recs, cfg.data, cfg.model.image_size,
                           train=True, seed=cfg.train.seed,
-                          cache_path=args.image_cache, shard=shard)
+                          cache_path=cfg.data.image_cache, shard=shard)
     # The loss-eval phase pads tail batches to the static batch shape
     # (Trainer._run_phase) so every val image is covered.
     eval_loader = Loader(val_recs, cfg.data, cfg.model.image_size,
@@ -594,8 +605,8 @@ def cmd_eval(args) -> int:
     # Per-split cache suffix: the cache digest is over the scored split's
     # ordered path list, so one prefix serving both splits would rebuild on
     # every alternation.
-    cache = (args.image_cache + f".{args.split}"
-             if getattr(args, "image_cache", None) else None)
+    cache = (cfg.data.image_cache + f".{args.split}"
+             if cfg.data.image_cache else None)
     out = evaluate_records(cfg, params, records, batch_stats=batch_stats,
                            iou_sweep=args.iou_sweep,
                            pr_curves_path=(args.pr_curves
@@ -967,16 +978,13 @@ def main(argv: Optional[List[str]] = None) -> int:
 def apply_compilation_cache(path: str) -> None:
     """Enable JAX's persistent compilation cache at ``path``.
 
-    Must run before the first compile of the process.  Thresholds are
-    zeroed so every program caches (the defaults skip sub-second
-    compiles — on this backend even tiny programs pay a relay RPC).
-    Programmatic users call this directly;  `cli main` applies it from
-    `--compilation-cache` before dispatching any subcommand.
+    Thin re-export of `xla_options.apply_compilation_cache` (kept here
+    for the documented `cli.apply_compilation_cache` surface); Trainer
+    and Detector also apply it from `TrainConfig.compilation_cache_dir`,
+    so programmatic users need only set the config field.
     """
-    import jax
-    jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    from objectdetection_ssd_tpu.xla_options import apply_compilation_cache
+    apply_compilation_cache(path)
 
 
 if __name__ == "__main__":

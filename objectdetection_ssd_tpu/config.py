@@ -216,6 +216,13 @@ class DataConfig:
     # are uint8-quantized too (`Dataset.py:10-13`).  "float32" ships
     # host-normalized images.
     transfer_dtype: str = "uint8"
+    # Packed decoded-image cache path PREFIX (`--image-cache`): the train
+    # loader decodes every JPEG once into `<prefix>.bin/.idx.npz` (mmap'd
+    # thereafter; data/cache.py), eval appends `.{split}` / `.val` for its
+    # own corpus.  Bit-exact vs per-epoch decode; kills first-touch JPEG
+    # I/O (RESULTS.md "Eval throughput attribution").  None = decode per
+    # use, like the reference (`Dataset.py:25`).
+    image_cache: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -307,9 +314,10 @@ class TrainConfig:
     # reloaded by later processes, so a fresh `eval`/`detect`/`serve`
     # process skips its multi-minute first-batch compile wall (the
     # reference has no compiles to cache; this is a TPU-runtime concern).
-    # None = off (JAX default).  Applied via
-    # jax.config.update("jax_compilation_cache_dir", ...) before the
-    # first compile; min-compile-time/entry-size thresholds are zeroed so
+    # None = off (JAX default).  Applied by `cli.main` (pre-dispatch) and
+    # by `Trainer.__init__`/`Detector.__init__` from this field
+    # (xla_options.apply_compilation_cache), so programmatic users need
+    # only set it; min-compile-time/entry-size thresholds are zeroed so
     # every program caches.
     compilation_cache_dir: Optional[str] = None
 

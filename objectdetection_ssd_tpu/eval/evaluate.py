@@ -38,6 +38,35 @@ def exact_eval_postprocess(pp: PostprocessConfig) -> PostprocessConfig:
         nms_unrolled=False)
 
 
+def _bounded_map(pool, fn, items, window: int):
+    """Ordered ``pool.map`` with a bounded in-flight window.
+
+    ``Executor.map`` submits every item up front, so when the consumer
+    (the device loop) is slower than the decode threads, completed
+    results pile up unboundedly — at VOC val scale that is gigabytes of
+    decoded pixels held by pending futures.  This keeps at most
+    ``window`` submissions outstanding (the cache writer uses the same
+    deque pattern, data/cache.py:_build_locked).
+    """
+    from collections import deque
+    it = iter(items)
+    pending: deque = deque()
+
+    def fill() -> None:
+        while len(pending) < window:
+            try:
+                item = next(it)
+            except StopIteration:
+                return
+            pending.append(pool.submit(fn, item))
+
+    fill()
+    while pending:
+        result = pending.popleft().result()
+        fill()
+        yield result
+
+
 def _evaluate_local(detector, records, bs, prep,
                     det_boxes, det_classes, det_scores,
                     gt_boxes, gt_classes) -> None:
@@ -47,7 +76,8 @@ def _evaluate_local(detector, records, bs, prep,
     # GIL, so threads overlap host preprocessing with the device batches.
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=4) as pool:
-        prepared = pool.map(prep, enumerate(records))
+        prepared = _bounded_map(pool, prep, enumerate(records),
+                                window=max(2 * bs, 8))
         for start in range(0, len(records), bs):
             chunk = [next(prepared) for _ in
                      range(min(bs, len(records) - start))]
@@ -111,7 +141,8 @@ def _evaluate_multihost(detector, records, bs, prep,
                      for k in range(lo, hi)
                      for i in [min(start + k, len(records) - 1)]]
     with ThreadPoolExecutor(max_workers=4) as pool:
-        prepared = pool.map(prep, local_records)
+        prepared = _bounded_map(pool, prep, local_records,
+                                window=max(2 * (hi - lo), 8))
         # Fixed GT pad for the allgather (ragged lists can't cross hosts):
         # sized to the batch's real max via a host allreduce-max per batch.
         for start in range(0, len(records), bs):

@@ -165,6 +165,9 @@ class Detector:
         global array from every process's contribution, exactly like the
         training loader path."""
         self.config = config
+        from objectdetection_ssd_tpu.xla_options import (
+            apply_compilation_cache)
+        apply_compilation_cache(config.train.compilation_cache_dir)
         self.model = model if model is not None else build_model(config.model)
         self.params = params
         self.batch_stats = batch_stats

@@ -50,6 +50,9 @@ class Trainer:
         ways, `--pp-dp`).  Default dispatches on the model family
         (`parallel.pipeline.build_pipeline_for`, SSD300)."""
         setup_logging()
+        from objectdetection_ssd_tpu.xla_options import (
+            apply_compilation_cache)
+        apply_compilation_cache(config.train.compilation_cache_dir)
         self.config = config
         self.train_loader = train_loader
         self.eval_loader = eval_loader

@@ -23,6 +23,25 @@ from typing import Optional
 import jax
 
 
+def apply_compilation_cache(path: Optional[str]) -> None:
+    """Enable JAX's persistent compilation cache at ``path`` (no-op on None).
+
+    Must run before the first compile of the process.  Thresholds are
+    zeroed so every program caches (the defaults skip sub-second
+    compiles — on this backend even tiny programs pay a relay RPC).
+    Applied from THREE places so `TrainConfig.compilation_cache_dir` is
+    never a write-only field: `cli.main` (from ``--compilation-cache``,
+    before any subcommand compiles), `Trainer.__init__`, and
+    `Detector.__init__` (both from the config, for programmatic users who
+    never go through the CLI).  Re-applying the same path is idempotent.
+    """
+    if not path:
+        return
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def scoped_vmem_options(limit_kib: Optional[int]) -> Optional[dict]:
     """``{"xla_tpu_scoped_vmem_limit_kib": N}``, or None.
 

@@ -297,6 +297,26 @@ def test_pp_flags_reach_config():
     assert cfg.train.pp_dp == 1
 
 
+def test_pp_dp_and_microbatches_require_pp():
+    """--pp-dp / --pp-microbatches without --pp must be a hard error, not
+    silent single-mesh training the user mistakes for the composition."""
+    with pytest.raises(SystemExit, match="require --pp"):
+        cli.build_config(_parse(["train", "--pp-dp", "4"]))
+    with pytest.raises(SystemExit, match="require --pp"):
+        cli.build_config(_parse(["train", "--pp-microbatches", "4"]))
+    with pytest.raises(SystemExit, match="require --pp"):
+        cli.build_config(_parse(["train", "--pp", "1", "--pp-dp", "2"]))
+
+
+def test_image_cache_flag_reaches_config():
+    cfg = cli.build_config(_parse(["train", "--image-cache", "/tmp/c"]))
+    assert cfg.data.image_cache == "/tmp/c"
+    cfg = cli.build_config(_parse(["eval", "--image-cache", "/tmp/c"]))
+    assert cfg.data.image_cache == "/tmp/c"
+    cfg = cli.build_config(_parse(["train"]))
+    assert cfg.data.image_cache is None
+
+
 def test_pp_mutually_exclusive_with_mesh_strategies():
     args = _parse(["train", "--pp", "2", "--tp", "2"])
     with pytest.raises(SystemExit, match="mutually exclusive"):

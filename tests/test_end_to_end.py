@@ -137,6 +137,58 @@ def test_evaluate_records_runs(tiny_setup):
                                atol=0.01)
 
 
+def test_bounded_map_is_ordered_and_lazy():
+    """Eval's prep prefetch must bound in-flight work: `Executor.map`
+    submits every item up front, so a slow consumer accumulates the whole
+    decoded corpus in completed futures (gigabytes at VOC val scale)."""
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+    from objectdetection_ssd_tpu.eval.evaluate import _bounded_map
+
+    started = []
+    def fn(x):
+        started.append(x)
+        return x * 2
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        gen = _bounded_map(pool, fn, range(100), window=6)
+        first = next(gen)
+        time.sleep(0.3)     # give an eager impl time to run everything
+        # window of 6 + the one refill after the first yield
+        assert len(started) <= 7, (
+            f"{len(started)} items ran with only one consumed — "
+            "the window is not bounding submission")
+        rest = list(gen)
+    assert [first] + rest == [x * 2 for x in range(100)]   # ordered, complete
+
+
+def test_detector_applies_compilation_cache_from_config(tiny_setup, tmp_path):
+    """`TrainConfig.compilation_cache_dir` must not be write-only: a
+    programmatic Detector (no CLI) enables the persistent cache itself."""
+    records, cfg = tiny_setup
+    from objectdetection_ssd_tpu.infer import detector as detector_lib
+    cache = str(tmp_path / "xla_cache")
+    cfg2 = cfg.replace(train=dataclasses.replace(
+        cfg.train, compilation_cache_dir=cache))
+    old = (jax.config.jax_compilation_cache_dir,
+           jax.config.jax_persistent_cache_min_compile_time_secs,
+           jax.config.jax_persistent_cache_min_entry_size_bytes)
+    try:
+        model = TinyDet()
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, 3)))["params"]
+        detector_lib.Detector(cfg2, params, model=model,
+                              priors=_tiny_priors())
+        assert jax.config.jax_compilation_cache_dir == cache
+        assert jax.config.jax_persistent_cache_min_compile_time_secs == 0
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old[0])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          old[1])
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                          old[2])
+
+
 def test_evaluate_records_image_cache_bit_exact(tiny_setup, tmp_path):
     """evaluate_records(image_cache=...) must score identically to the
     JPEG-decode path: load_image is uint8/255, so the cache's uint8 round
