@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import json
 import sys
 from typing import List, Optional
 
@@ -746,6 +747,43 @@ def _restore_params(cfg: config_lib.Config, allow_random_init: bool = False,
     return state.params, state.batch_stats
 
 
+def cmd_doctor(args) -> int:
+    """Probe backend health and report (utils/doctor.py).
+
+    Exit 0 = healthy, 1 = degraded.  The probe runs in a fresh subprocess
+    under --timeout so a hung backend init (relay degradation mode 1)
+    cannot wedge the doctor itself.  No reference analog (SURVEY.md §5:
+    the reference has no failure-detection tooling).
+    """
+    from objectdetection_ssd_tpu.utils import doctor as doctor_lib
+
+    cfg = config_lib.DoctorConfig(
+        timeout_s=args.timeout, platform=args.platform)
+    result = doctor_lib.probe_backend(
+        timeout_s=cfg.timeout_s, platform=cfg.platform)
+    host_lines = doctor_lib.host_checks(
+        compilation_cache_dir=getattr(args, "compilation_cache", None))
+
+    if args.json:
+        payload = json.loads(result.to_json())
+        payload["host_checks"] = host_lines
+        print(json.dumps(payload))
+    else:
+        print("backend: %s" % result.status.upper())
+        if result.platform is not None:
+            init = ("%.1fs" % result.init_seconds
+                    if result.init_seconds is not None else "?")
+            print("  platform: %s  devices: %s  init: %s"
+                  % (result.platform, result.device_count, init))
+        if result.matmul_seconds is not None:
+            print("  jitted matmul + device_get: %.1fs"
+                  % result.matmul_seconds)
+        print("  %s" % result.detail)
+        for line in host_lines:
+            print(line)
+    return 0 if result.healthy else 1
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     parser = argparse.ArgumentParser(prog="objectdetection_ssd_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -968,6 +1006,27 @@ def main(argv: Optional[List[str]] = None) -> int:
                         help="read the EMA-averaged weights (requires an EMA-enabled checkpoint and the matching --ema-decay)")
     _int8_flags(p_exp)
     p_exp.set_defaults(fn=cmd_export)
+
+    p_doc = sub.add_parser(
+        "doctor",
+        help="probe accelerator-backend health (exit 0 healthy, "
+             "1 degraded)")
+    p_doc.add_argument(
+        "--timeout", type=float,
+        default=config_lib.DoctorConfig.timeout_s,
+        help="hard wall (seconds) for the subprocess probe — both known "
+             "relay degradation modes exceed any finite wait, so this "
+             "bounds the bad-news latency")
+    p_doc.add_argument(
+        "--platform", default=None,
+        help="jax platform override for the probe child (e.g. 'cpu'); "
+             "default probes the default backend")
+    p_doc.add_argument("--json", action="store_true",
+                       help="emit one machine-readable JSON line")
+    p_doc.add_argument(
+        "--compilation-cache", default=None, metavar="DIR",
+        help="also check this compilation-cache directory is writable")
+    p_doc.set_defaults(fn=cmd_doctor)
 
     args = parser.parse_args(argv)
     if getattr(args, "compilation_cache", None):

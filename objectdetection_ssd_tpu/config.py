@@ -361,6 +361,25 @@ class QuantConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class DoctorConfig:
+    """Backend health probe (`cli doctor`, utils/doctor.py).
+
+    The reference has no health tooling (SURVEY.md §5 "failure detection:
+    none"); this probes the accelerator backend from a fresh subprocess
+    under a hard timeout and classifies the known relay degradation modes
+    (hung-init / compile-stall / worker-crashed).
+    """
+
+    # Hard wall for the subprocess probe.  Healthy relay init + first tiny
+    # compile is well under 60 s; both observed degradation modes exceed
+    # any finite wait, so the default only bounds the bad-news latency.
+    timeout_s: float = 120.0
+    # Optional jax platform override for the probe child (e.g. "cpu").
+    # None probes the default backend — the real chip in deployment.
+    platform: Optional[str] = None
+
+
+@dataclasses.dataclass(frozen=True)
 class Config:
     priors: PriorConfig = dataclasses.field(default_factory=PriorConfig)
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
@@ -371,6 +390,7 @@ class Config:
     optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
     quant: QuantConfig = dataclasses.field(default_factory=QuantConfig)
+    doctor: DoctorConfig = dataclasses.field(default_factory=DoctorConfig)
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
