@@ -78,14 +78,18 @@ def test_probe_backend_cpu_is_healthy():
 
 def test_probe_backend_hung_init_path():
     r = doctor.probe_backend(
-        timeout_s=2.0, _child_source="import time\ntime.sleep(60)\n")
+        timeout_s=15.0, _child_source="import time\ntime.sleep(120)\n")
     assert r.status == "hung-init"
 
 
 def test_probe_backend_compile_stall_path():
+    # The timeout must leave the child comfortable room to start up and
+    # print its marker even on a heavily loaded 1-core host — at 2 s this
+    # flaked under the full suite (interpreter startup alone exceeded it,
+    # misclassifying the run as hung-init).
     child = ('print("DOCTOR_DEVICES 1 axon 0.001", flush=True)\n'
-             "import time\ntime.sleep(60)\n")
-    r = doctor.probe_backend(timeout_s=2.0, _child_source=child)
+             "import time\ntime.sleep(120)\n")
+    r = doctor.probe_backend(timeout_s=15.0, _child_source=child)
     assert r.status == "compile-stall"
     assert r.platform == "axon"
 
